@@ -1,0 +1,118 @@
+"""Tests for the MANO body layer on the synthetic model."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fmhr_tpu.body import (
+    ManoModel,
+    mano_forward,
+    lbs,
+    lbs_tpose,
+    synthetic_hand_model,
+)
+from fmhr_tpu.body.mano import joints21
+from fmhr_tpu.core.subdivision import subdivide_weights_loop
+
+
+def test_rest_pose_matches_template():
+    m = synthetic_hand_model()
+    go = jnp.zeros((1, 3))
+    hp = -jnp.asarray(m.hand_mean)[None]  # cancel the mean -> zero pose
+    betas = jnp.zeros((1, 10))
+    verts, joints = mano_forward(m, go, hp, betas, apply_pose_blend=False)
+    np.testing.assert_allclose(verts[0], m.v_template, atol=1e-5)
+
+
+def test_flat_hand_mean_flag():
+    m = synthetic_hand_model()
+    go = jnp.zeros((1, 3))
+    betas = jnp.zeros((1, 10))
+    v1, _ = mano_forward(m, go, jnp.zeros((1, 45)), betas, flat_hand_mean=True,
+                         apply_pose_blend=False)
+    np.testing.assert_allclose(v1[0], m.v_template, atol=1e-5)
+
+
+def test_translation_and_scale():
+    m = synthetic_hand_model()
+    go = jnp.zeros((1, 3))
+    hp = jnp.zeros((1, 45))
+    betas = jnp.zeros((1, 10))
+    t = jnp.array([[1.0, 2.0, 3.0]])
+    v0, j0 = mano_forward(m, go, hp, betas)
+    v1, j1 = mano_forward(m, go, hp, betas, transl=t, scale=2.0)
+    np.testing.assert_allclose(v1, v0 * 2.0 + t[:, None], atol=1e-5)
+    np.testing.assert_allclose(j1, j0 * 2.0 + t[:, None], atol=1e-5)
+
+
+def test_global_rotation_is_rigid():
+    m = synthetic_hand_model()
+    betas = jnp.zeros((1, 10))
+    hp = jnp.zeros((1, 45))
+    v0, _ = mano_forward(m, jnp.zeros((1, 3)), hp, betas, apply_pose_blend=False)
+    v1, _ = mano_forward(m, jnp.array([[0.0, 0.0, np.pi / 2]]), hp, betas,
+                         apply_pose_blend=False)
+    # rigid: pairwise distances preserved
+    d0 = np.linalg.norm(np.asarray(v0[0, :50, None] - v0[0, None, :50]), axis=-1)
+    d1 = np.linalg.norm(np.asarray(v1[0, :50, None] - v1[0, None, :50]), axis=-1)
+    np.testing.assert_allclose(d0, d1, atol=1e-4)
+
+
+def test_pca_pose_path():
+    m = synthetic_hand_model()
+    betas = jnp.zeros((1, 10))
+    coeffs = jnp.ones((1, 6)) * 0.1
+    full = coeffs @ jnp.asarray(m.hand_components[:6])
+    v_pca, _ = mano_forward(m, jnp.zeros((1, 3)), coeffs, betas, use_pca=True)
+    v_aa, _ = mano_forward(m, jnp.zeros((1, 3)), full, betas, use_pca=False)
+    np.testing.assert_allclose(v_pca, v_aa, atol=1e-5)
+
+
+def test_joints21_layout():
+    m = synthetic_hand_model()
+    v, j16 = mano_forward(m, jnp.zeros((1, 3)), jnp.zeros((1, 45)),
+                          jnp.zeros((1, 10)))
+    j = joints21(m, v, j16)
+    assert j.shape == (1, 21, 3)
+    np.testing.assert_allclose(j[0, 0], j16[0, 0], atol=1e-6)  # wrist first
+
+
+def test_lbs_tpose_inverts_lbs():
+    m = synthetic_hand_model()
+    rng = np.random.default_rng(1)
+    pose = jnp.asarray(rng.normal(size=(1, 48)) * 0.3, jnp.float32)
+    shape = jnp.asarray(rng.normal(size=(1, 10)) * 0.5, jnp.float32)
+    verts_t = jnp.asarray(m.v_template)[None]
+    w = jnp.asarray(m.lbs_weights)
+
+    posed = lbs(m, pose, shape, w, verts_t)
+    back = lbs_tpose(m, pose, shape, w, posed)
+    np.testing.assert_allclose(back, verts_t, atol=1e-4)
+
+
+def test_lbs_with_subdivided_weights():
+    # The repose pipeline: subdivide mesh+weights, then pose the fine mesh.
+    m = synthetic_hand_model()
+    v2, f2, w2 = subdivide_weights_loop(
+        m.lbs_weights, m.v_template, m.faces, iterations=1
+    )
+    pose = jnp.zeros((1, 48))
+    shape = jnp.zeros((1, 10))
+    posed = lbs(m, pose, shape, jnp.asarray(w2), jnp.asarray(v2)[None],
+                add_pose_mean=False)
+    # zero pose with no mean => identity skinning
+    np.testing.assert_allclose(posed[0], v2, atol=1e-4)
+
+
+def test_model_npz_roundtrip(tmp_path):
+    m = synthetic_hand_model()
+    p = tmp_path / "mano.npz"
+    np.savez(
+        p,
+        v_template=m.v_template, shapedirs=m.shapedirs, posedirs=m.posedirs,
+        J_regressor=m.J_regressor, lbs_weights=m.lbs_weights,
+        parents=np.asarray(m.parents), faces=m.faces, hand_mean=m.hand_mean,
+        hand_components=m.hand_components, is_rhand=m.is_rhand,
+    )
+    m2 = ManoModel.load_npz(str(p))
+    np.testing.assert_allclose(m2.v_template, m.v_template)
+    assert m2.parents == m.parents
