@@ -1,0 +1,205 @@
+"""Analytic silhouette antialiasing with vertex-position gradients.
+
+Equivalent role to nvdiffrast's `antialias`
+(`/root/reference/mesh_sfs_optim.py:146-147,274,287`): rasterized ids are
+piecewise-constant in vertex positions, so WITHOUT this pass a silhouette
+(mask/occlusion boundary) provides no gradient to the geometry. Following
+the approach of the "Modular Primitives" paper (nvdiffrast), for every
+horizontally/vertically adjacent pixel pair whose triangle ids differ we
+locate the visible triangle edge crossing the segment between the two
+pixel centers and blend the two colors by the sub-pixel coverage the edge
+implies. The crossing position `s` is an analytic function of the
+clip-space vertices, so d(image)/d(vertices) is exact at silhouettes.
+
+Blending rule (s in (0,1) measured from pixel p toward pixel q):
+  s > 0.5: the p-side surface protrudes past the midpoint into q's cell:
+           out_q += (s - 0.5) · (c_p − c_q)
+  s < 0.5: p's cell is partially uncovered by its own surface:
+           out_p += (0.5 − s) · (c_q − c_p)
+
+Interior (shared) edges between the two triangles are skipped when a
+topology is supplied; without topology the color difference across a
+shared edge is already ~0 so the correction degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry import screen_xy
+
+_DENOM_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class AATopology:
+    """Per-face edge ids in local edge order k=0:(v0,v1), 1:(v1,v2), 2:(v2,v0)."""
+
+    face_edge_ids: np.ndarray  # [F, 3] int32
+
+    @classmethod
+    def build(cls, faces: np.ndarray, num_vertices: int) -> "AATopology":
+        faces = np.asarray(faces, np.int64)
+        e01 = np.sort(faces[:, [0, 1]], 1)
+        e12 = np.sort(faces[:, [1, 2]], 1)
+        e20 = np.sort(faces[:, [2, 0]], 1)
+        all_e = np.concatenate([e01, e12, e20], 0)
+        h = all_e[:, 0] * num_vertices + all_e[:, 1]
+        uniq, inv = np.unique(h, return_inverse=True)
+        F = faces.shape[0]
+        ids = inv.reshape(3, F).T  # columns: (01, 12, 20)
+        return cls(face_edge_ids=ids.astype(np.int32))
+
+
+def _first_valid(s_k, valid_k):
+    """Select the first valid crossing along axis 0 (k=3 edges)."""
+    idx = jnp.argmax(valid_k, axis=0)  # first True (or 0 if none)
+    take = lambda a: jnp.take_along_axis(a, idx[None], axis=0)[0]
+    return take(s_k), take(valid_k)
+
+
+def _pair_blend(
+    cu, cv, w_ok,            # tri screen coords [.., 3] + all-vertex validity
+    eids,                    # per-pixel face edge ids [.., 3] (or None)
+    ids,                     # per-pixel face ids [..]
+    zw,                      # per-pixel depth [..]
+    u_p, u_q, v_c,           # pair-axis coords of the two centers + cross coord
+):
+    """Compute blend factor s and validity for pixel pairs.
+
+    All arrays are already arranged so the LAST spatial axis steps between
+    the paired pixels: inputs carry a leading pair-side axis of size 2
+    (index 0 = pixel p, 1 = pixel q).
+    """
+    covered = ids > 0
+    differ = ids[0] != ids[1]
+    any_cov = covered[0] | covered[1]
+    pair_active = differ & any_cov
+
+    # shared-edge test (both covered, same geometric edge -> continuous)
+    if eids is not None:
+        both = covered[0] & covered[1]
+        # shared[side][..., k]: is edge k of `side`'s triangle also an edge
+        # of the OTHER pixel's triangle?
+        shared = [
+            (eids[side][..., :, None] == eids[1 - side][..., None, :]).any(-1)
+            for side in (0, 1)
+        ]
+    else:
+        both = None
+        shared = None
+
+    def side_crossing(side):
+        su, sv = cu[side], cv[side]  # [.., 3]
+        s_list, v_list = [], []
+        for k in range(3):
+            a, b = k, (k + 1) % 3
+            denom = sv[..., b] - sv[..., a]
+            safe = jnp.where(jnp.abs(denom) > _DENOM_EPS, denom, _DENOM_EPS)
+            t = (v_c - sv[..., a]) / safe
+            u_int = su[..., a] + t * (su[..., b] - su[..., a])
+            s = (u_int - u_p) / (u_q - u_p)
+            ok = (
+                (jnp.abs(denom) > _DENOM_EPS)
+                & (t >= 0.0) & (t <= 1.0)
+                & (s > 0.0) & (s < 1.0)
+                & covered[side] & w_ok[side]
+            )
+            if shared is not None:
+                ok = ok & ~(both & shared[side][..., k])
+            s_list.append(s)
+            v_list.append(ok)
+        return _first_valid(jnp.stack(s_list), jnp.stack(v_list))
+
+    sP, vP = side_crossing(0)
+    sQ, vQ = side_crossing(1)
+    use_p = vP & (~vQ | (zw[0] <= zw[1]))
+    s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
+    valid = pair_active & (vP | vQ)
+    return s, jax.lax.stop_gradient(valid)
+
+
+def _aa_axis(color, ids, zw, tri_u, tri_v, w_ok, eids, u_centers, v_centers):
+    """One-axis AA pass. The pair axis is the LAST spatial axis of all
+    inputs; tri_u/tri_v are per-pixel triangle screen coords along (u, v).
+
+    Returns delta arrays (d_p, d_q) of shape color[..., :-1 pairs, C].
+    """
+    sl_p = (slice(None),) * (ids.ndim - 1) + (slice(None, -1),)
+    sl_q = (slice(None),) * (ids.ndim - 1) + (slice(1, None),)
+
+    pair = lambda a: jnp.stack([a[sl_p], a[sl_q]])
+    u_p = u_centers[:-1]
+    u_q = u_centers[1:]
+
+    s, valid = _pair_blend(
+        pair(tri_u), pair(tri_v), pair(w_ok),
+        None if eids is None else pair(eids),
+        pair(ids), pair(zw),
+        u_p, u_q, v_centers,
+    )
+    alpha_q = jnp.maximum(s - 0.5, 0.0)
+    alpha_p = jnp.maximum(0.5 - s, 0.0)
+    alpha_q = jnp.where(valid, alpha_q, 0.0)
+    alpha_p = jnp.where(valid, alpha_p, 0.0)
+
+    c_p, c_q = color[sl_p], color[sl_q]
+    d_q = alpha_q[..., None] * (c_p - c_q)
+    d_p = alpha_p[..., None] * (c_q - c_p)
+    return d_p, d_q
+
+
+def antialias(color, rast, clip, faces, topology: AATopology | None = None):
+    """Antialias `color` [B, H, W, C] at silhouettes. Differentiable in
+    both `color` and `clip`.
+
+    Parity: `dr.antialias(color, rast_out, proj_verts, faces)`.
+    """
+    faces = jnp.asarray(faces, jnp.int32)
+    B, H, W, C = color.shape
+    ids = rast[..., 3].astype(jnp.int32)
+    zw = rast[..., 2]
+
+    F = faces.shape[0]
+    face_idx = jnp.where(ids > 0, ids - 1, F)
+    faces_ext = jnp.concatenate([faces, jnp.zeros((1, 3), jnp.int32)], axis=0)
+    pix_faces = faces_ext[face_idx]  # [B, H, W, 3]
+    tri = jax.vmap(lambda c, i: c[i])(clip, pix_faces.reshape(B, -1))
+    tri = tri.reshape(B, H, W, 3, 4)
+    sx, sy, w = screen_xy(tri)  # [B, H, W, 3]
+    w_ok = jnp.all(w > 0, axis=-1)
+
+    if topology is not None:
+        fe = jnp.concatenate(
+            [jnp.asarray(topology.face_edge_ids), jnp.full((1, 3), -1, jnp.int32)]
+        )
+        eids = fe[face_idx]  # [B, H, W, 3]
+    else:
+        eids = None
+
+    # pixel centers in NDC
+    px = (jnp.arange(W, dtype=color.dtype) + 0.5) * (2.0 / W) - 1.0
+    py = (jnp.arange(H, dtype=color.dtype) + 0.5) * (2.0 / H) - 1.0
+
+    out = color
+
+    # Horizontal pairs: pair axis = W; u = x, v = y (per row).
+    d_p, d_q = _aa_axis(
+        color, ids, zw, sx, sy, w_ok, eids,
+        u_centers=px, v_centers=py[None, :, None],
+    )
+    out = out.at[:, :, :-1].add(d_p).at[:, :, 1:].add(d_q)
+
+    # Vertical pairs: transpose H<->W, swap u<->v.
+    tr = lambda a: jnp.swapaxes(a, 1, 2)
+    d_p, d_q = _aa_axis(
+        tr(color), tr(ids), tr(zw), tr(sy), tr(sx), tr(w_ok),
+        None if eids is None else tr(eids),
+        u_centers=py, v_centers=px[None, :, None],
+    )
+    out = out.at[:, :-1, :].add(tr(d_p)).at[:, 1:, :].add(tr(d_q))
+    return out
