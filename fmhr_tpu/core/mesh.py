@@ -101,9 +101,18 @@ def vertex_normals(vertices: jax.Array, faces) -> jax.Array:
     normals = normals.at[:, faces[:, 0]].add(n0)
     normals = normals.at[:, faces[:, 1]].add(n1)
     normals = normals.at[:, faces[:, 2]].add(n2)
-    norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = normals / jnp.maximum(norm, 1e-6)
+    normals = safe_normalize(normals, eps=1e-12)
     return normals[0] if squeeze else normals
+
+
+def safe_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize with a backward pass that is finite at x = 0.
+
+    `x / max(||x||, eps)` still produces NaN gradients at exactly zero
+    (d||x||/dx = x/||x||); `x * rsqrt(sum(x²) + eps)` does not.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps)
 
 
 def edge_lengths_sq(vertices: jax.Array, faces) -> jax.Array:
@@ -149,7 +158,10 @@ def laplacian_smoothing(vertices: jax.Array, edges, degrees) -> jax.Array:
     are constants.
     """
     lap = uniform_laplacian(vertices, edges, degrees)
-    return jnp.sum(jnp.linalg.norm(lap, axis=-1)) / vertices.shape[0]
+    # sqrt(x + eps) instead of norm: torch's norm backward returns a zero
+    # subgradient at 0, JAX's returns NaN — the eps keeps it finite.
+    row = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-20)
+    return jnp.sum(row) / vertices.shape[0]
 
 
 def normal_consistency_pairs(faces: np.ndarray, num_vertices: int) -> np.ndarray:

@@ -1,0 +1,3 @@
+from .demo import load_demo_views, load_demo_keypoints2d, DemoViews
+
+__all__ = ["load_demo_views", "load_demo_keypoints2d", "DemoViews"]

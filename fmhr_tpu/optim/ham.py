@@ -1,0 +1,319 @@
+"""HAM: joint mesh-displacement + albedo + SH-lighting optimization.
+
+TPU-native rebuild of the reference's core workload `mesh_sfs_optim.py`
+(the "HAM optimizer", `README.md:54,73`):
+
+  0. SH init — per-view least squares of the reference SH basis on
+     rendered normals vs. the gray image (`mesh_sfs_optim.py:124-174`).
+     The reference round-trips to numpy lstsq per view; here the normal
+     equations (9x9) are accumulated ON DEVICE with masked segment sums —
+     no host sync.
+  1. Stage A — optimize per-vertex albedo + per-view SH coefficients
+     against the shaded L1 loss (`:195-240`).
+  2. Stage B — optimize vertex displacement delta + albedo jointly with
+     sfs/laplacian/albedo-laplacian/mask/edge/delta losses (`:242-318`),
+     halving... dividing albedo_weight by 1e4 at the midpoint (`:250-251`).
+
+Both stages run as ONE jitted `lax.scan` each: per-epoch permutations are
+generated on device, minibatch view gathers are dynamic slices, and the
+loss trace stays on device until the end (the reference syncs per step via
+`.item()` and `torch.randperm().cuda()`, `:198,239,249,312`).
+
+Faithful quirks kept (see SURVEY.md §7): the Stage-B mask loss pulls the
+rendered mask toward the INITIAL mesh's antialiased mask (valid_masks from
+the init pass, `:158,259,295`), not the data mask; Stage B freezes the SH
+coefficients (the reference marks them requires_grad_(False) at `:243` so
+Adam receives no gradient for them).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.mesh import (
+    MeshTopology, vertex_normals, edge_lengths_sq, laplacian_smoothing,
+    safe_normalize,
+)
+from ..core.sh import sh_basis, sh_radiance
+from ..raster import rasterize, interpolate, antialias, AATopology
+from ..utils.config import Config
+
+
+@dataclasses.dataclass
+class HamConfig:
+    width: int = 1280
+    height: int = 1024
+    epoch_albedo: int = 150
+    epoch_sfs: int = 300
+    sfs_weight: float = 50.0
+    lap_weight: float = 2000.0
+    albedo_weight: float = 1.0
+    mask_weight: float = 1000.0
+    edge_weight: float = 500000.0
+    delta_weight: float = 50000.0
+    degree: int = 3
+    batch: int = 8
+    lr: float = 1e-4
+    albedo_lr: float = 0.005
+    sh_lr: float = 0.005
+    seed: int = 0
+
+    @classmethod
+    def from_config(cls, conf: Config) -> "HamConfig":
+        return cls(
+            width=conf.get_int("w"),
+            height=conf.get_int("h"),
+            epoch_albedo=conf.get_int("epoch_albedo"),
+            epoch_sfs=conf.get_int("epoch_sfs"),
+            sfs_weight=conf.get_float("sfs_weight"),
+            lap_weight=conf.get_float("lap_weight"),
+            albedo_weight=conf.get_float("albedo_weight"),
+            mask_weight=conf.get_float("mask_weight"),
+            edge_weight=conf.get_float("edge_weight"),
+            delta_weight=conf.get_float("delta_weight"),
+            degree=conf.get_int("degree"),
+            batch=conf.get_int("batch"),
+            lr=conf.get_float("lr"),
+            albedo_lr=conf.get_float("albedo_lr"),
+            sh_lr=conf.get_float("sh_lr"),
+        )
+
+
+def project_verts(vertices, w2c, proj):
+    """vertices [V, 3]; w2c/proj [B, 4, 4] transposed -> clip [B, V, 4]."""
+    ones = jnp.ones_like(vertices[:, :1])
+    ph = jnp.concatenate([vertices, ones], -1)  # [V, 4]
+    rot = jnp.einsum("vk,bkl->bvl", ph, w2c)
+    return jnp.einsum("bvk,bkl->bvl", rot, proj)
+
+
+def _masked_l1(pred, target, valid):
+    """Mean |pred-target| over valid pixels (channels averaged)."""
+    num = jnp.sum(jnp.abs(pred - target) * valid[..., None])
+    den = jnp.maximum(jnp.sum(valid) * pred.shape[-1], 1.0)
+    return num / den
+
+
+def sh_init(
+    grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,
+    view_chunk: int = 4,
+):
+    """Per-view + global SH least squares and albedo mean, on device.
+
+    Returns (sh_coeffs [N, d2], albedo_init [V, 3], valid_masks [N, H, W]).
+    """
+    N = w2cs.shape[0]
+    res = (cfg.height, cfg.width)
+    d2 = cfg.degree ** 2
+    normals = vertex_normals(vertices, faces)  # [V, 3] world space
+
+    def one_chunk(w2c, proj, mask, gray, img):
+        clip = project_verts(vertices, w2c, proj)
+        rast = rasterize(clip, faces, res)
+        feat = interpolate(
+            jnp.concatenate([normals, jnp.ones_like(normals[:, :1])], -1),
+            rast, faces,
+        )
+        pred_mask = antialias(feat[..., 3:4], rast, clip, faces, topo_aa)[..., 0]
+        pred_normals = antialias(feat[..., :3], rast, clip, faces, topo_aa)
+        pred_normals = safe_normalize(pred_normals)
+        valid = (mask > 0) & (rast[..., 3] > 0)  # [b, H, W]
+        basis = sh_basis(pred_normals, cfg.degree)  # [b, H, W, d2]
+        vb = valid[..., None] * basis
+        # normal equations per view: M = B^T B, y = B^T gray
+        M = jnp.einsum("bhwi,bhwj->bij", vb, basis)
+        y = jnp.einsum("bhwi,bhw->bi", vb, gray)
+        return M, y, pred_mask, pred_normals, valid
+
+    Ms, ys, pred_masks, all_normals, all_valid = [], [], [], [], []
+    for k in range(0, N, view_chunk):
+        sl = slice(k, min(N, k + view_chunk))
+        M, y, pm, pn, va = jax.jit(one_chunk)(
+            w2cs[sl], projs[sl], masks[sl], grayimgs[sl], imgs[sl]
+        )
+        Ms.append(M); ys.append(y); pred_masks.append(pm)
+        all_normals.append(pn); all_valid.append(va)
+    M = jnp.concatenate(Ms); y = jnp.concatenate(ys)
+
+    eye = jnp.eye(d2) * 1e-6
+    sh_coeffs = jax.vmap(lambda m, v: jnp.linalg.solve(m + eye, v))(M, y)  # [N, d2]
+    sh_global = jnp.linalg.solve(M.sum(0) + eye, y.sum(0))
+
+    # albedo init: mean over valid pixels of img / radiance(global sh)
+    num = jnp.zeros(3)
+    den = jnp.zeros(())
+    for pn, va, k in zip(all_normals, all_valid, range(0, N, view_chunk)):
+        sl = slice(k, min(N, k + view_chunk))
+        rad = sh_radiance(sh_global, pn, cfg.degree)[..., None]
+        safe = jnp.where(jnp.abs(rad) > 1e-6, rad, 1e-6)
+        num = num + jnp.sum(jnp.where(va[..., None], imgs[sl] / safe, 0.0), (0, 1, 2))
+        den = den + jnp.sum(va)
+    albedo_mean = num / jnp.maximum(den, 1.0)
+    albedo_init = jnp.broadcast_to(albedo_mean, vertices.shape)
+
+    return sh_coeffs, albedo_init, jnp.concatenate(pred_masks)
+
+
+def _make_batcher(num: int, batch: int, epochs: int, seed: int):
+    """Precompute per-epoch permutations; returns [steps, batch] index array
+    (wraparound padding when batch doesn't divide num)."""
+    steps_per_epoch = math.ceil(num / batch)
+    keys = jax.random.split(jax.random.PRNGKey(seed), epochs)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, num))(keys)  # [E, num]
+    pad = steps_per_epoch * batch - num
+    perms = jnp.concatenate([perms, perms[:, :pad]], axis=1) if pad else perms
+    return perms.reshape(epochs * steps_per_epoch, batch), steps_per_epoch
+
+
+def run_ham(
+    imgs, grayimgs, masks, w2cs, projs, vertices, faces, cfg: HamConfig,
+):
+    """Full HAM optimization. All image/camera args [N, ...] jnp/np arrays;
+    vertices [V, 3] the x3-subdivided initial mesh; faces [F, 3].
+
+    Returns dict with optimized vertices/delta/albedo/sh_coeffs and the
+    loss traces of both stages.
+    """
+    imgs = jnp.asarray(imgs, jnp.float32)
+    grayimgs = jnp.asarray(grayimgs, jnp.float32)
+    masks = jnp.asarray(masks, jnp.float32)
+    w2cs = jnp.asarray(w2cs, jnp.float32)
+    projs = jnp.asarray(projs, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces_np = np.asarray(faces, np.int32)
+    faces = jnp.asarray(faces_np)
+
+    V = vertices.shape[0]
+    N = imgs.shape[0]
+    res = (cfg.height, cfg.width)
+    topo = MeshTopology.build(faces_np, V)
+    topo_aa = AATopology.build(faces_np, V)
+    edges = jnp.asarray(topo.edges)
+    degrees = jnp.asarray(topo.degrees)
+
+    sh_coeffs, albedo, valid_masks = sh_init(
+        grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg
+    )
+
+    edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
+
+    # ---------------- Stage A: albedo + SH ---------------------------------
+    def render_stage_a(albedo_p, sh_p, idx):
+        w2c, proj = w2cs[idx], projs[idx]
+        clip = project_verts(vertices, w2c, proj)
+        rast = rasterize(clip, faces, res)
+        normals = vertex_normals(vertices, faces)
+        feat = interpolate(
+            jnp.concatenate([normals, albedo_p], -1), rast, faces
+        )
+        pred_normals = antialias(feat[..., :3], rast, clip, faces, topo_aa)
+        pred_normals = safe_normalize(pred_normals)
+        rast_albedo = antialias(feat[..., 3:6], rast, clip, faces, topo_aa)
+        valid = (masks[idx] > 0) & (rast[..., 3] > 0)
+        rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals, cfg.degree)
+        pred = rad[..., None] * rast_albedo
+        return _masked_l1(pred, imgs[idx], valid.astype(pred.dtype))
+
+    batches_a, _ = _make_batcher(N, cfg.batch, cfg.epoch_albedo, cfg.seed)
+    opt_a = optax.multi_transform(
+        {"albedo": optax.adam(cfg.albedo_lr), "sh": optax.adam(cfg.sh_lr)},
+        {"albedo": "albedo", "sh": "sh"},
+    )
+
+    @jax.jit
+    def run_stage_a(albedo0, sh0):
+        params = {"albedo": albedo0, "sh": sh0}
+        state = opt_a.init(params)
+
+        def step(carry, idx):
+            p, s = carry
+            loss, g = jax.value_and_grad(
+                lambda pp: cfg.sfs_weight
+                * render_stage_a(pp["albedo"], pp["sh"], idx)
+            )(p)
+            upd, s = opt_a.update(g, s)
+            return (optax.apply_updates(p, upd), s), loss
+
+        (p, _), losses = jax.lax.scan(step, (params, state), batches_a)
+        return p["albedo"], p["sh"], losses
+
+    albedo, sh_coeffs, losses_a = run_stage_a(albedo, sh_coeffs)
+
+    # ---------------- Stage B: delta + albedo ------------------------------
+    def stage_b_losses(delta_p, albedo_p, idx, albedo_w):
+        verts = vertices + delta_p
+        w2c, proj = w2cs[idx], projs[idx]
+        clip = project_verts(verts, w2c, proj)
+        rast = rasterize(clip, faces, res)
+        normals = vertex_normals(verts, faces)
+        feat = interpolate(
+            jnp.concatenate([normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
+            rast, faces,
+        )
+        pred_normals = safe_normalize(feat[..., :3])
+        rast_albedo = feat[..., 3:6]
+        pred_mask = antialias(feat[..., 6:7], rast, clip, faces, topo_aa)[..., 0]
+
+        valid = ((masks[idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
+        rad = sh_radiance(sh_coeffs[idx][:, None, None, :], pred_normals, cfg.degree)
+        pred = rad[..., None] * rast_albedo
+        tmp_img = jnp.where(valid[..., None] > 0, pred, 0.0)
+        tmp_img = antialias(tmp_img, rast, clip, faces, topo_aa)
+
+        sfs = cfg.sfs_weight * _masked_l1(tmp_img, imgs[idx], valid)
+        lap = cfg.lap_weight * laplacian_smoothing(verts, edges, degrees)
+        alb = albedo_w * laplacian_smoothing(albedo_p, edges, degrees)
+        mask_l = cfg.mask_weight * jnp.mean((pred_mask - valid_masks[idx]) ** 2)
+        el = edge_lengths_sq(verts, faces)
+        edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
+        delta_l = cfg.delta_weight * jnp.mean(jnp.sum(delta_p ** 2, -1))
+        return sfs + lap + alb + mask_l + edge_l + delta_l
+
+    steps_b_total_epochs = cfg.epoch_sfs
+    batches_b, steps_pe = _make_batcher(N, cfg.batch, steps_b_total_epochs, cfg.seed + 1)
+    half_step = (steps_b_total_epochs // 2) * steps_pe
+    opt_b = optax.multi_transform(
+        {"delta": optax.adam(cfg.lr), "albedo": optax.adam(cfg.albedo_lr)},
+        {"delta": "delta", "albedo": "albedo"},
+    )
+
+    @jax.jit
+    def run_stage_b(albedo0):
+        params = {"delta": jnp.zeros_like(vertices), "albedo": albedo0}
+        state = opt_b.init(params)
+
+        def step(carry, xs):
+            p, s = carry
+            idx, i = xs
+            albedo_w = jnp.where(
+                i >= half_step, cfg.albedo_weight / 10000.0, cfg.albedo_weight
+            )
+            loss, g = jax.value_and_grad(
+                lambda pp: stage_b_losses(pp["delta"], pp["albedo"], idx, albedo_w)
+            )(p)
+            upd, s = opt_b.update(g, s)
+            return (optax.apply_updates(p, upd), s), loss
+
+        steps = jnp.arange(batches_b.shape[0])
+        (p, _), losses = jax.lax.scan(step, (params, state), (batches_b, steps))
+        return p["delta"], p["albedo"], losses
+
+    delta, albedo, losses_b = run_stage_b(albedo)
+
+    return {
+        "vertices": vertices + delta,
+        "delta": delta,
+        "albedo": albedo,
+        "sh_coeffs": sh_coeffs,
+        "valid_masks": valid_masks,
+        "losses_albedo": losses_a,
+        "losses_sfs": losses_b,
+        "topology": topo,
+    }

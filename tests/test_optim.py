@@ -1,0 +1,149 @@
+"""End-to-end tests for the optimization workloads on synthetic scenes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fmhr_tpu.optim import triangulate_keypoints, fit_mano_two_hands, HamConfig, run_ham
+from fmhr_tpu.optim.ham import project_verts
+from fmhr_tpu.body import synthetic_hand_model, mano_forward
+from fmhr_tpu.body.mano import joints21
+from fmhr_tpu.core import MeshTopology, vertex_normals
+from fmhr_tpu.core.sh import sh_radiance
+from fmhr_tpu.raster import rasterize, interpolate, AATopology, antialias
+
+
+def _ring_cameras(n, radius=3.0, res=64):
+    """n cameras on a ring looking at the origin; returns transposed
+    (w2cs, projs) [n,4,4] each in the reference convention."""
+    w2cs, projs = [], []
+    f = res * 1.2  # focal in pixels
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        eye = np.array([radius * np.cos(ang), 0.4, radius * np.sin(ang)])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up); right /= np.linalg.norm(right)
+        dn = np.cross(fwd, right)  # y down in camera frame
+        R = np.stack([right, dn, fwd])  # world->cam rows
+        t = -R @ eye
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R; w2c[:3, 3] = t
+        proj = np.zeros((4, 4), np.float32)
+        proj[0, 0] = f / (res / 2.0)
+        proj[1, 1] = f / (res / 2.0)
+        proj[2, 3] = -0.1
+        proj[3, 2] = 1.0
+        w2cs.append(w2c.T); projs.append(proj.T)
+    return np.stack(w2cs), np.stack(projs)
+
+
+def test_triangulation_recovers_points(rng):
+    n = 8
+    w2cs, projs = _ring_cameras(n)
+    gt = rng.uniform(-0.4, 0.4, size=(42, 3)).astype(np.float32)
+
+    # project gt to 2D per view to build the "detections"
+    ones = np.ones((42, 1), np.float32)
+    poses2d = []
+    for i in range(n):
+        ph = np.concatenate([gt, ones], 1)
+        clip = ph @ w2cs[i] @ projs[i]
+        uv = clip[:, :2] / clip[:, 3:4]
+        poses2d.append(np.concatenate([uv, np.ones((42, 1), np.float32)], 1))
+    poses2d = np.stack(poses2d)
+    weights = np.ones((n, 42), np.float32)
+
+    pred, losses = triangulate_keypoints(w2cs, projs, poses2d, weights, epochs=800, lr=0.01)
+    err = np.abs(np.asarray(pred) - gt).max()
+    assert float(losses[-1]) < float(losses[0]) * 0.05
+    assert err < 0.05, err
+
+
+def test_mano_fit_recovers_joints(rng):
+    ml = synthetic_hand_model(seed=0, is_rhand=False)
+    mr = synthetic_hand_model(seed=0, is_rhand=True)
+
+    # ground-truth keypoints from a known parameter set
+    def gt_joints(model, seed):
+        r = np.random.default_rng(seed)
+        pose = jnp.asarray(r.normal(size=(1, 9)) * 0.2, jnp.float32)
+        shape = jnp.asarray(r.normal(size=(1, 10)) * 0.3, jnp.float32)
+        v, j16 = mano_forward(model, pose[:, :3], pose[:, 3:], shape, use_pca=True)
+        return joints21(model, v, j16) * 1.8 + jnp.asarray([[0.1, 0.2, -0.1]])
+
+    k3d = jnp.concatenate([gt_joints(ml, 1), gt_joints(mr, 2)], 1)
+    fit_l, fit_r, vl, vr, losses = fit_mano_two_hands(ml, mr, k3d, epochs=300)
+    assert float(losses[-1]) < float(losses[0]) * 0.05
+    assert fit_l.pose.shape == (1, 48)
+    assert 1.0 < float(fit_r.scale[0]) < 3.0
+
+
+def _synthetic_scene(res=48, n_views=6):
+    """Ground-truth shaded renders of the synthetic hand for HAM tests."""
+    m = synthetic_hand_model()
+    verts, _ = mano_forward(
+        m, jnp.zeros((1, 3)), jnp.zeros((1, 45)), jnp.zeros((1, 10)),
+        apply_pose_blend=False,
+    )
+    verts = np.asarray(verts[0] * 0.45)
+    faces = m.faces
+    w2cs, projs = _ring_cameras(n_views, res=res)
+    topo_aa = AATopology.build(faces, verts.shape[0])
+
+    gt_albedo = jnp.asarray(
+        0.4 + 0.3 * (np.sin(verts * 7.0) * 0.5 + 0.5), jnp.float32
+    )
+    sh_gt = jnp.asarray([0.8, 0.2, 0.3, -0.1, 0, 0, 0.05, 0, 0], jnp.float32)
+
+    def render(v):
+        clip = project_verts(jnp.asarray(v), jnp.asarray(w2cs), jnp.asarray(projs))
+        rast = rasterize(clip, faces, (res, res))
+        n = vertex_normals(jnp.asarray(v), faces)
+        feat = interpolate(
+            jnp.concatenate([n, gt_albedo, jnp.ones((verts.shape[0], 1))], -1),
+            rast, faces,
+        )
+        nrm = feat[..., :3]
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        rad = sh_radiance(sh_gt, nrm, 3)[..., None]
+        img = rad * feat[..., 3:6]
+        mask = (rast[..., 3] > 0).astype(jnp.float32)
+        clip_a = clip
+        img = antialias(img, rast, clip_a, faces, topo_aa)
+        return img * mask[..., None], mask
+
+    imgs, masks = render(verts)
+    gray = jnp.mean(imgs, -1)
+    return m, verts, faces, np.asarray(imgs), np.asarray(gray), np.asarray(masks), w2cs, projs
+
+
+@pytest.mark.slow
+def test_ham_improves_geometry_and_appearance():
+    res = 48
+    m, verts_gt, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res)
+
+    # start from a perturbed mesh (smooth bias + noise)
+    rng = np.random.default_rng(3)
+    verts0 = verts_gt + 0.01 * np.sin(verts_gt[:, :1] * 3.0) + \
+        rng.normal(size=verts_gt.shape).astype(np.float32) * 0.002
+
+    cfg = HamConfig(
+        width=res, height=res, epoch_albedo=10, epoch_sfs=20,
+        sfs_weight=50.0, lap_weight=200.0, albedo_weight=1.0,
+        mask_weight=10.0, edge_weight=5e4, delta_weight=100.0,
+        batch=3, lr=5e-4, albedo_lr=0.01, sh_lr=0.005,
+    )
+    out = run_ham(imgs, gray, masks, w2cs, projs, verts0, faces, cfg)
+
+    la = np.asarray(out["losses_albedo"])
+    lb = np.asarray(out["losses_sfs"])
+    assert np.isfinite(la).all() and np.isfinite(lb).all()
+    assert la[-3:].mean() < la[:3].mean()          # stage A learns
+    assert lb[-3:].mean() < lb[:3].mean()          # stage B learns
+
+    # geometry should not blow up and should (weakly) improve
+    err0 = np.abs(verts0 - verts_gt).mean()
+    err1 = np.abs(np.asarray(out["vertices"]) - verts_gt).mean()
+    assert err1 < err0 * 1.5
