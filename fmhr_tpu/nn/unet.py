@@ -1,0 +1,100 @@
+"""Rendering UNet with partial convolutions.
+
+Parity: `/root/reference/models/unet.py:256-398` as instantiated by the
+neural renderer: `UNet(284, 3, feature_scale=2, more_layers=0)` with
+partial-conv blocks, bilinear upsampling, BatchNorm and a sigmoid output
+(`neural_render.py:68`). Multi-scale extra input slots are supported by
+the reference but unused (single input); we implement the single-input
+path. BatchNorm runs in "train" mode statistics-free (use_running_average
+False) just like the reference's default train() usage.
+
+Partial convolution (`models/unet.py:56-130`): convolve input*mask, then
+renormalize by the fraction of valid mask inside each window and re-add
+the bias; the mask propagates via max-pooling of coverage.
+"""
+
+from __future__ import annotations
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+
+class PartialConv(fnn.Module):
+    features: int
+    kernel: int = 3
+
+    @fnn.compact
+    def __call__(self, x, mask):
+        """x [B, H, W, C]; mask [B, H, W, 1] (1 = valid)."""
+        k = self.kernel
+        # bias-free conv + manual bias so the mask renormalization applies
+        # to the convolution only (reference subtracts/re-adds the bias,
+        # `models/unet.py:120-123` — algebraically identical).
+        raw = fnn.Conv(self.features, (k, k), padding="SAME", use_bias=False)(
+            x * mask
+        )
+        bias = self.param("bias", fnn.initializers.zeros, (self.features,))
+        # window-valid counts via a ones-kernel convolution of the mask
+        win = jax.lax.conv_general_dilated(
+            mask, jnp.ones((k, k, 1, 1), x.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        ratio = (k * k) / (win + 1e-8)
+        update = jnp.clip(win, 0.0, 1.0)
+        out = (raw * ratio + bias) * update
+        return out, update
+
+
+class PartialBlock(fnn.Module):
+    features: int
+
+    @fnn.compact
+    def __call__(self, x, mask, train: bool = True):
+        x, new_mask = PartialConv(self.features)(x, mask)
+        x = fnn.BatchNorm(use_running_average=not train)(x)
+        x = fnn.relu(x)
+        x = fnn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = fnn.BatchNorm(use_running_average=not train)(x)
+        x = fnn.relu(x)
+        return x, new_mask
+
+
+class RenderUNet(fnn.Module):
+    """4-level UNet, feature_scale=2 -> filters (32, 64, 128, 256, 512)."""
+
+    out_channels: int = 3
+    feature_scale: int = 2
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        """x [B, H, W, C_in]; H, W must be multiples of 16 (4 poolings) —
+        the caller pads (the reference pads W to /8, `train_unet.py:192-196`).
+        Mask = any-channel-nonzero, as the reference derives it
+        (`models/unet.py:346-347`)."""
+        filters = [f // self.feature_scale for f in (64, 128, 256, 512, 1024)]
+        mask = (jnp.sum(jnp.abs(x), axis=-1, keepdims=True) > 1e-9).astype(x.dtype)
+
+        in64, m = PartialBlock(filters[0])(x, mask, train)
+
+        skips = [in64]
+        h, hm = in64, m
+        for lvl in range(4):
+            h = fnn.avg_pool(h, (2, 2), strides=(2, 2))
+            hm = fnn.max_pool(hm, (2, 2), strides=(2, 2))
+            h, hm = PartialBlock(filters[lvl + 1])(h, hm, train)
+            if lvl < 3:
+                skips.append(h)
+
+        for lvl in range(3, -1, -1):
+            B, H, W, C = h.shape
+            h = jax.image.resize(h, (B, H * 2, W * 2, C), "bilinear")
+            h = fnn.Conv(filters[lvl], (3, 3), padding="SAME")(h)
+            skip = skips[lvl]
+            h = jnp.concatenate([h, skip], axis=-1)
+            hmask = (jnp.sum(jnp.abs(h), -1, keepdims=True) > 1e-9).astype(x.dtype)
+            h, _ = PartialBlock(filters[lvl])(h, hmask, train)
+
+        out = fnn.Conv(self.out_channels, (1, 1))(h)
+        return fnn.sigmoid(out)

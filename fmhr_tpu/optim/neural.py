@@ -1,0 +1,257 @@
+"""Mesh-based neural renderer: forward pass + two-phase training.
+
+TPU-native rebuild of `neural_render.py:41-221` with the canonical
+rendering forward of `train_mlp.py:165-205` (MLP head) and
+`train_unet.py:155-198` (UNet head):
+
+  verts -> view transform -> rasterize -> interpolate
+  [mask, view-space normals, albedo, uniform-random verts, 20-d features]
+  -> icosahedral PE (3->87 for normals/albedo/pos) -> concat ray dirs
+  -> per-pixel MLP (or dense UNet) -> sigmoid image.
+
+Quirk kept (SURVEY.md §7): `uni_vertices` — the "position" channel fed to
+the PE is a fresh uniform-random tensor per call (`train_mlp.py:171`).
+`uni_mode='zeros'` disables it consciously.
+
+Phase 1 trains the appearance net + vertex features with geometry frozen
+(`neural_render.py:137-166`); phase 2 adds a second geometry-conditioned
+net and unfreezes vertices/albedo with laplacian/edge/delta regularizers
+(`:176-219`). Both phases are single jitted `lax.scan` loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.mesh import (
+    MeshTopology, vertex_normals, edge_lengths_sq, laplacian_smoothing,
+)
+from ..nn.pe import IcosahedronEncoding
+from ..nn.mlp import RenderMLP
+from ..raster import rasterize, interpolate
+from .ham import project_verts, _make_batcher
+
+
+def neural_forward(
+    apply_fn: Callable,
+    params,
+    pe: IcosahedronEncoding,
+    ray,            # [B, H, W, 3]
+    w2cs, projs,    # [B, 4, 4] transposed
+    vertices,       # [V, 3]
+    faces,
+    albedo,         # [V, 3]
+    vertex_feat,    # [V, 20]  (or img_z [B, H, W, 3] when if_geo)
+    resolution,
+    rng,
+    if_geo: bool = False,
+    uni_mode: str = "random",
+):
+    """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1])."""
+    B = w2cs.shape[0]
+    H, W = resolution
+    if uni_mode == "random":
+        uni = jax.random.uniform(rng, vertices.shape)
+    else:
+        uni = jnp.zeros_like(vertices)
+
+    ones = jnp.ones_like(vertices[:, :1])
+    ph = jnp.concatenate([vertices, ones], -1)
+    rot = jnp.einsum("vk,bkl->bvl", ph, w2cs)
+    clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
+    normals = vertex_normals(rot[..., :3], faces)  # view-space, [B, V, 3]
+
+    rast = rasterize(clip, faces, (H, W))
+    # attributes differ per view only via normals -> build [B, V, C]
+    attr = jnp.concatenate(
+        [
+            jnp.broadcast_to(ones, (B,) + ones.shape),
+            normals,
+            jnp.broadcast_to(albedo, (B,) + albedo.shape),
+            jnp.broadcast_to(uni, (B,) + uni.shape),
+        ],
+        axis=-1,
+    )
+    if not if_geo:
+        attr = jnp.concatenate(
+            [attr, jnp.broadcast_to(vertex_feat, (B,) + vertex_feat.shape)], -1
+        )
+    feat = interpolate(attr, rast, faces)
+    masks = feat[..., :1]
+
+    if not if_geo:
+        normal_map = pe(feat[..., 1:4])
+        albedo_map = pe(feat[..., 4:7])
+        pos = pe(feat[..., 7:10])
+        vertex_f = feat[..., 10:30]
+        input_f = jnp.concatenate([normal_map, albedo_map, pos, ray, vertex_f], -1)
+    else:
+        input_f = jnp.concatenate(
+            [feat[..., 1:4], feat[..., 4:7], feat[..., 7:10], vertex_feat], -1
+        )  # vertex_feat carries img_z here
+
+    out = apply_fn(params, input_f)
+    pred = jnp.where(masks > 0, out, 0.0)
+    return pred, masks
+
+
+@dataclasses.dataclass
+class NeuralRenderState:
+    net_params: Any
+    net_g_params: Any
+    vertex_feat: jnp.ndarray
+    vertices: jnp.ndarray
+    albedo: jnp.ndarray
+
+
+def train_neural_renderer(
+    imgs, gt_masks, rays, w2cs, projs, vertices, faces, albedo,
+    num_epochs: int = 200,
+    batch: int = 2,
+    feat_dim: int = 20,
+    seed: int = 0,
+    uni_mode: str = "random",
+    mlp_width: int = 256,
+    mlp_depth: int = 8,
+):
+    """Two-phase MLP-head training. Returns (NeuralRenderState, losses1,
+    losses2). Image tensors are [N, H, W, ...]; vertices/albedo [V, 3].
+    """
+    imgs = jnp.asarray(imgs, jnp.float32)
+    gt_masks = jnp.asarray(gt_masks, jnp.float32)
+    rays = jnp.asarray(rays, jnp.float32)
+    w2cs = jnp.asarray(w2cs, jnp.float32)
+    projs = jnp.asarray(projs, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    albedo = jnp.asarray(albedo, jnp.float32)
+    faces_np = np.asarray(faces, np.int32)
+    faces = jnp.asarray(faces_np)
+
+    N, H, W = imgs.shape[:3]
+    V = vertices.shape[0]
+    topo = MeshTopology.build(faces_np, V)
+    edges, degrees = jnp.asarray(topo.edges), jnp.asarray(topo.degrees)
+    pe = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
+
+    net = RenderMLP(width=mlp_width, depth=mlp_depth)
+    net_g = RenderMLP(width=mlp_width, depth=mlp_depth)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, key = jax.random.split(key, 3)
+    in_dim = pe.embedding_size * 3 + 3 + feat_dim  # 284
+    net_params = net.init(k1, jnp.zeros((1, in_dim)))
+    net_g_params = net_g.init(k2, jnp.zeros((1, 12)))
+    vertex_feat = jnp.zeros((V, feat_dim))
+
+    edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
+    vertices_tmp = vertices
+
+    def render(net_p, vf, verts, alb, idx, rng, if_geo=False, geo_p=None, img_z=None):
+        f = (lambda p, x: net_g.apply(p, x)) if if_geo else (lambda p, x: net.apply(p, x))
+        return neural_forward(
+            f, geo_p if if_geo else net_p, pe,
+            rays[idx], w2cs[idx], projs[idx],
+            verts, faces, alb,
+            img_z if if_geo else vf,
+            (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
+        )
+
+    # ---------------- phase 1: net + vertex_feat ---------------------------
+    batches1, _ = _make_batcher(N, batch, num_epochs, seed)
+    opt1 = optax.adam(1e-4)
+
+    @jax.jit
+    def run_phase1(net_p0, vf0, key):
+        params = {"net": net_p0, "vf": vf0}
+        state = opt1.init(params)
+
+        def loss_fn(p, idx, rng):
+            pred, masks = render(p["net"], p["vf"], vertices, albedo, idx, rng)
+            valid = ((masks[..., 0] > 0) & (gt_masks[idx] > 0)).astype(jnp.float32)
+            h = optax.huber_loss(pred, imgs[idx], delta=1.0)
+            num = jnp.sum(h * valid[..., None])
+            den = jnp.maximum(jnp.sum(valid) * 3, 1.0)
+            return 100.0 * num / den
+
+        def step(carry, xs):
+            p, s, k = carry
+            idx = xs
+            k, sub = jax.random.split(k)
+            loss, g = jax.value_and_grad(loss_fn)(p, idx, sub)
+            upd, s = opt1.update(g, s)
+            return (optax.apply_updates(p, upd), s, k), loss
+
+        (p, _, _), losses = jax.lax.scan(step, (params, state, key), batches1)
+        return p["net"], p["vf"], losses
+
+    k3, key = jax.random.split(key)
+    net_params, vertex_feat, losses1 = run_phase1(net_params, vertex_feat, k3)
+
+    # ---------------- phase 2: + net_g, vertices, albedo -------------------
+    batches2, _ = _make_batcher(N, batch, num_epochs, seed + 1)
+    opt2 = optax.multi_transform(
+        {
+            "net": optax.adam(1e-4), "net_g": optax.adam(5e-4),
+            "verts": optax.adam(5e-4), "albedo": optax.adam(5e-4),
+            "vf": optax.adam(1e-4),
+        },
+        {"net": "net", "net_g": "net_g", "verts": "verts",
+         "albedo": "albedo", "vf": "vf"},
+    )
+
+    @jax.jit
+    def run_phase2(net_p0, netg_p0, vf0, verts0, alb0, key):
+        params = {"net": net_p0, "net_g": netg_p0, "vf": vf0,
+                  "verts": verts0, "albedo": alb0}
+        state = opt2.init(params)
+
+        def loss_fn(p, idx, rng):
+            r1, r2 = jax.random.split(rng)
+            render_z, masks = render(p["net"], p["vf"], p["verts"], p["albedo"], idx, r1)
+            pred, masks = render(
+                None, None, p["verts"], p["albedo"], idx, r2,
+                if_geo=True, geo_p=p["net_g"],
+                img_z=jax.lax.stop_gradient(render_z),
+            )
+            valid = ((masks[..., 0] > 0) & (gt_masks[idx] > 0)).astype(jnp.float32)
+
+            def ml1(a, b):
+                num = jnp.sum(jnp.abs(a - b) * valid[..., None])
+                return num / jnp.maximum(jnp.sum(valid) * 3, 1.0)
+
+            img_loss = ml1(pred, imgs[idx])
+            imgz_loss = ml1(render_z, imgs[idx])
+            lap = 100.0 * laplacian_smoothing(p["verts"], edges, degrees)
+            el = edge_lengths_sq(p["verts"], faces)
+            edge_loss = 150000.0 * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
+            delta_loss = 50000.0 * jnp.mean(
+                jnp.sum((vertices_tmp - p["verts"]) ** 2, -1)
+            )
+            return img_loss + imgz_loss + lap + edge_loss + delta_loss
+
+        def step(carry, xs):
+            p, s, k = carry
+            k, sub = jax.random.split(k)
+            loss, g = jax.value_and_grad(loss_fn)(p, xs, sub)
+            upd, s = opt2.update(g, s)
+            return (optax.apply_updates(p, upd), s, k), loss
+
+        (p, _, _), losses = jax.lax.scan(step, (params, state, key), batches2)
+        return p, losses
+
+    k4, key = jax.random.split(key)
+    p, losses2 = run_phase2(
+        net_params, net_g_params, vertex_feat, vertices, albedo, k4
+    )
+
+    state = NeuralRenderState(
+        net_params=p["net"], net_g_params=p["net_g"],
+        vertex_feat=p["vf"], vertices=p["verts"], albedo=p["albedo"],
+    )
+    return state, np.asarray(losses1), np.asarray(losses2), (net, net_g, pe)

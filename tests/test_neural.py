@@ -1,0 +1,53 @@
+"""Neural renderer: forward shapes, UNet, and short two-phase training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fmhr_tpu.nn import IcosahedronEncoding, RenderMLP, RenderUNet
+from fmhr_tpu.optim.neural import train_neural_renderer, neural_forward
+from tests.test_optim import _synthetic_scene, _ring_cameras
+
+
+def test_pe_embedding_size():
+    pe = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
+    assert pe.embedding_size == 87
+    out = pe(jnp.zeros((2, 5, 3)))
+    assert out.shape == (2, 5, 87)
+    # sin(x + pi/2) block equals cos at zero input -> ones
+    np.testing.assert_allclose(out[0, 0, 3 + 42:], 1.0, atol=1e-6)
+
+
+def test_mlp_shapes():
+    net = RenderMLP()
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 284)))
+    y = net.apply(p, jnp.zeros((7, 284)))
+    assert y.shape == (7, 3)
+    assert (np.asarray(y) >= 0).all() and (np.asarray(y) <= 1).all()
+
+
+def test_unet_shapes():
+    net = RenderUNet(out_channels=3, feature_scale=4)
+    x = jnp.zeros((1, 64, 48, 12))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(variables, x, mutable=["batch_stats"])[0]
+    assert y.shape == (1, 64, 48, 3)
+
+
+@pytest.mark.slow
+def test_neural_training_learns():
+    res = 48
+    m, verts, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res)
+    rays = np.broadcast_to(
+        np.array([0, 0, 1], np.float32), (imgs.shape[0], res, res, 3)
+    )
+    albedo = np.full_like(verts, 0.5)
+    state, l1, l2, _ = train_neural_renderer(
+        imgs, masks, rays, w2cs, projs, verts, faces, albedo,
+        num_epochs=8, batch=3, mlp_width=64, mlp_depth=4,
+    )
+    assert np.isfinite(l1).all() and np.isfinite(l2).all()
+    assert l1[-3:].mean() < l1[:3].mean()
+    assert l2[-3:].mean() < l2[:3].mean() * 1.2  # phase 2 stays stable
+    assert state.vertex_feat.shape == (verts.shape[0], 20)
