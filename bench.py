@@ -1,0 +1,153 @@
+"""Benchmark: fwd+bwd differentiable rasterization throughput (Mrays/s/chip).
+
+Headline metric per BASELINE.json: millions of rays (pixels) per second
+through the FULL differentiable path — project -> rasterize (tile-binned
+visibility + barycentrics) -> interpolate normals/albedo -> SH shade ->
+antialias -> masked L1 loss -> backward to vertices/albedo/SH -> Adam
+update. This is one HAM Stage-B step, the reference's metric workload
+(`/root/reference/mesh_sfs_optim.py:246-318`).
+
+The reference repo publishes NO benchmark numbers (BASELINE.md); the
+`vs_baseline` field is measured against a 100 Mrays/s nominal parity bar
+(an estimate of nvdiffrast fwd+bwd + loss on the reference's RTX 3090Ti at
+this workload size), so >1.0 means faster than the assumed reference rate.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+NOMINAL_BASELINE_MRAYS = 100.0
+
+PRESETS = {
+    # name: (res, n_views, subdiv, iters)
+    "full": (512, 4, 2, 10),
+    "small": (256, 4, 1, 10),
+    "tiny": (64, 2, 0, 3),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="full", choices=sorted(PRESETS))
+    ap.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
+    args = ap.parse_args()
+
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.core.mesh import (
+        MeshTopology, vertex_normals, safe_normalize, laplacian_smoothing,
+    )
+    from fmhr_tpu.core.sh import sh_radiance
+    from fmhr_tpu.optim.ham import project_verts, _masked_l1
+    from fmhr_tpu.raster import rasterize, interpolate, antialias, AATopology
+
+    res, n_views, subdiv, iters = PRESETS[args.preset]
+    verts, faces, w2cs, projs = hand_scene(res=res, n_views=n_views, subdiv=subdiv)
+    V = verts.shape[0]
+    topo = MeshTopology.build(faces, V)
+    topo_aa = AATopology.build(faces, V)
+    edges = jnp.asarray(topo.edges)
+    degrees = jnp.asarray(topo.degrees)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((n_views, res, res, 3)), jnp.float32)
+    masks = jnp.asarray(
+        (rng.random((n_views, res, res)) > 0.3).astype(np.float32)
+    )
+    sh = jnp.asarray(
+        np.tile(np.array([0.8, 0.1, 0.2, -0.1, 0, 0, 0.05, 0, 0], np.float32),
+                (n_views, 1))
+    )
+    w2cs = jnp.asarray(w2cs)
+    projs = jnp.asarray(projs)
+    verts0 = jnp.asarray(verts)
+    faces_j = jnp.asarray(faces)
+
+    opt = optax.adam(1e-4)
+
+    def loss_fn(params):
+        v = verts0 + params["delta"]
+        clip = project_verts(v, w2cs, projs)
+        rast = rasterize(clip, faces_j, (res, res))
+        normals = vertex_normals(v, faces_j)
+        feat = interpolate(
+            jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
+            rast, faces_j,
+        )
+        nrm = safe_normalize(feat[..., :3])
+        pred_mask = antialias(feat[..., 6:7], rast, clip, faces_j, topo_aa)[..., 0]
+        valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
+        rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3)
+        pred = jnp.where(valid[..., None] > 0, rad[..., None] * feat[..., 3:6], 0.0)
+        pred = antialias(pred, rast, clip, faces_j, topo_aa)
+        return (
+            50.0 * _masked_l1(pred, imgs, valid)
+            + 200.0 * laplacian_smoothing(v, edges, degrees)
+            + jnp.mean((pred_mask - masks) ** 2)
+        )
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    params = {
+        "delta": jnp.zeros_like(verts0),
+        "albedo": jnp.full_like(verts0, 0.5),
+        "sh": sh,
+    }
+    state = opt.init(params)
+
+    # warmup / compile
+    params, state, loss = step(params, state)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, state, loss = step(params, state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays = n_views * res * res
+    mrays = rays / dt / 1e6
+    steps_per_s = 1.0 / dt
+
+    out = {
+        "metric": "Mrays/s/chip fwd+bwd rasterize+shade (HAM stage-B step)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NOMINAL_BASELINE_MRAYS, 4),
+        "extra": {
+            "preset": args.preset,
+            "res": res,
+            "views": n_views,
+            "faces": int(faces.shape[0]),
+            "verts": int(V),
+            "step_ms": round(dt * 1e3, 3),
+            "ham_steps_per_s": round(steps_per_s, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Synthetic calibrated camera rigs and scenes for tests/benchmarks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ring_cameras(n: int, radius: float = 3.0, res: int = 64):
+    """n cameras on a ring looking at the origin.
+
+    Returns (w2cs [n,4,4], projs [n,4,4]) TRANSPOSED, in the reference
+    clip convention (w = view depth, z = -0.1).
+    """
+    w2cs, projs = [], []
+    f = res * 1.2  # focal length in pixels
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        eye = np.array([radius * np.cos(ang), 0.4, radius * np.sin(ang)])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up); right /= np.linalg.norm(right)
+        dn = np.cross(fwd, right)  # y down in camera frame
+        R = np.stack([right, dn, fwd])  # world->cam rows
+        t = -R @ eye
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R; w2c[:3, 3] = t
+        proj = np.zeros((4, 4), np.float32)
+        proj[0, 0] = f / (res / 2.0)
+        proj[1, 1] = f / (res / 2.0)
+        proj[2, 3] = -0.1
+        proj[3, 2] = 1.0
+        w2cs.append(w2c.T); projs.append(proj.T)
+    return np.stack(w2cs), np.stack(projs)
+
+
+def hand_scene(res: int = 64, n_views: int = 8, subdiv: int = 0):
+    """Synthetic hand mesh + ring cameras; returns (verts, faces, w2cs, projs)."""
+    import jax.numpy as jnp
+    from ..body import synthetic_hand_model, mano_forward
+    from ..core.subdivision import loop_subdivide_iter
+
+    m = synthetic_hand_model()
+    verts, _ = mano_forward(
+        m, jnp.zeros((1, 3)), jnp.zeros((1, 45)), jnp.zeros((1, 10)),
+        apply_pose_blend=False,
+    )
+    verts = np.asarray(verts[0] * 0.45)
+    faces = np.asarray(m.faces)
+    if subdiv:
+        verts, faces = loop_subdivide_iter(verts, faces, subdiv)
+    w2cs, projs = ring_cameras(n_views, res=res)
+    return verts.astype(np.float32), faces.astype(np.int32), w2cs, projs

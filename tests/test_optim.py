@@ -12,31 +12,7 @@ from fmhr_tpu.body.mano import joints21
 from fmhr_tpu.core import MeshTopology, vertex_normals
 from fmhr_tpu.core.sh import sh_radiance
 from fmhr_tpu.raster import rasterize, interpolate, AATopology, antialias
-
-
-def _ring_cameras(n, radius=3.0, res=64):
-    """n cameras on a ring looking at the origin; returns transposed
-    (w2cs, projs) [n,4,4] each in the reference convention."""
-    w2cs, projs = [], []
-    f = res * 1.2  # focal in pixels
-    for i in range(n):
-        ang = 2 * np.pi * i / n
-        eye = np.array([radius * np.cos(ang), 0.4, radius * np.sin(ang)])
-        fwd = -eye / np.linalg.norm(eye)
-        up = np.array([0.0, 1.0, 0.0])
-        right = np.cross(fwd, up); right /= np.linalg.norm(right)
-        dn = np.cross(fwd, right)  # y down in camera frame
-        R = np.stack([right, dn, fwd])  # world->cam rows
-        t = -R @ eye
-        w2c = np.eye(4, dtype=np.float32)
-        w2c[:3, :3] = R; w2c[:3, 3] = t
-        proj = np.zeros((4, 4), np.float32)
-        proj[0, 0] = f / (res / 2.0)
-        proj[1, 1] = f / (res / 2.0)
-        proj[2, 3] = -0.1
-        proj[3, 2] = 1.0
-        w2cs.append(w2c.T); projs.append(proj.T)
-    return np.stack(w2cs), np.stack(projs)
+from fmhr_tpu.data.synthetic import ring_cameras as _ring_cameras
 
 
 def test_triangulation_recovers_points(rng):
