@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -42,7 +44,6 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.platform:
-        import os
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -50,13 +51,25 @@ def main() -> None:
     import jax.numpy as jnp
     import optax
 
+    # Persistent compile cache: once a compile of the big step succeeds,
+    # later runs (and retries) reuse the executable.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Warm the device with a trivial program before compiling the large
+    # step: on tunneled TPU backends the first program after a claim is
+    # flaky for big graphs (observed "TPU device error" without this).
+    jax.block_until_ready(jnp.ones((8, 128)).sum())
+
     from fmhr_tpu.data.synthetic import hand_scene
     from fmhr_tpu.core.mesh import (
         MeshTopology, vertex_normals, safe_normalize, laplacian_smoothing,
     )
     from fmhr_tpu.core.sh import sh_radiance
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
-    from fmhr_tpu.raster import rasterize, interpolate, antialias, AATopology
+    from fmhr_tpu.raster import (rasterize, interpolate,
+        antialias_weights, apply_antialias, AATopology)
 
     res, n_views, subdiv, iters = PRESETS[args.preset]
     verts, faces, w2cs, projs = hand_scene(res=res, n_views=n_views, subdiv=subdiv)
@@ -92,11 +105,12 @@ def main() -> None:
             rast, faces_j,
         )
         nrm = safe_normalize(feat[..., :3])
-        pred_mask = antialias(feat[..., 6:7], rast, clip, faces_j, topo_aa)[..., 0]
+        aa_w = antialias_weights(rast, clip, faces_j, topo_aa)
+        pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
         valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3)
         pred = jnp.where(valid[..., None] > 0, rad[..., None] * feat[..., 3:6], 0.0)
-        pred = antialias(pred, rast, clip, faces_j, topo_aa)
+        pred = apply_antialias(pred, aa_w)
         return (
             50.0 * _masked_l1(pred, imgs, valid)
             + 200.0 * laplacian_smoothing(v, edges, degrees)
@@ -115,6 +129,12 @@ def main() -> None:
         "sh": sh,
     }
     state = opt.init(params)
+
+    # Stage the compiles: value_and_grad alone first, then the full step.
+    # The tunneled remote compiler is markedly more reliable when the large
+    # program arrives after its main subgraph has been compiled once.
+    l, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+    jax.block_until_ready(l)
 
     # warmup / compile
     params, state, loss = step(params, state)
@@ -149,5 +169,37 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def supervised() -> int:
+    """Run the measurement in a child process with timeout + retries.
+
+    The tunneled TPU backend occasionally hangs or faults on the first
+    large compile; a poisoned claim recovers after a few minutes. The
+    child re-invokes this script with --_worker.
+    """
+    attempts = int(os.environ.get("FMHR_BENCH_ATTEMPTS", "3"))
+    per_attempt = int(os.environ.get("FMHR_BENCH_TIMEOUT_S", "540"))
+    backoff = int(os.environ.get("FMHR_BENCH_BACKOFF_S", "240"))
+    argv = [sys.executable, os.path.abspath(__file__), "--_worker"] + sys.argv[1:]
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(argv, timeout=per_attempt,
+                                  capture_output=True, text=True)
+            out = [ln for ln in proc.stdout.splitlines()
+                   if ln.startswith("{")]
+            if proc.returncode == 0 and out:
+                print(out[-1])
+                return 0
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {i + 1} timed out\n")
+        if i + 1 < attempts:
+            time.sleep(backoff)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--_worker" in sys.argv:
+        sys.argv.remove("--_worker")
+        main()
+    else:
+        sys.exit(supervised())

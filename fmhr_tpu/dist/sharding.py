@@ -88,7 +88,8 @@ def make_sharded_ham_step(
         vertex_normals, edge_lengths_sq, laplacian_smoothing, safe_normalize,
     )
     from ..core.sh import sh_radiance
-    from ..raster import rasterize, interpolate, antialias
+    from ..raster import (rasterize, interpolate, antialias_weights,
+                          apply_antialias)
 
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces, jnp.int32)
@@ -114,14 +115,15 @@ def make_sharded_ham_step(
             rast, faces,
         )
         pred_normals = safe_normalize(feat[..., :3])
-        pred_mask = antialias(feat[..., 6:7], rast, clip, faces, topo_aa)[..., 0]
+        aa_w = antialias_weights(rast, clip, faces, topo_aa)
+        pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
         valid = ((batch["masks"] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(
             batch["sh"][:, None, None, :], pred_normals, cfg.degree
         )
         pred = rad[..., None] * feat[..., 3:6]
         tmp_img = jnp.where(valid[..., None] > 0, pred, 0.0)
-        tmp_img = antialias(tmp_img, rast, clip, faces, topo_aa)
+        tmp_img = apply_antialias(tmp_img, aa_w)
 
         sfs = cfg.sfs_weight * _masked_l1(tmp_img, batch["imgs"], valid)
         lap = cfg.lap_weight * laplacian_smoothing(verts, edges, degrees)

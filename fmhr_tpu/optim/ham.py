@@ -42,7 +42,8 @@ from ..core.mesh import (
     safe_normalize,
 )
 from ..core.sh import sh_basis, sh_radiance
-from ..raster import rasterize, interpolate, antialias, AATopology
+from ..raster import (rasterize, interpolate, antialias,
+                      antialias_weights, apply_antialias, AATopology)
 from ..utils.config import Config
 
 
@@ -121,9 +122,9 @@ def sh_init(
             jnp.concatenate([normals, jnp.ones_like(normals[:, :1])], -1),
             rast, faces,
         )
-        pred_mask = antialias(feat[..., 3:4], rast, clip, faces, topo_aa)[..., 0]
-        pred_normals = antialias(feat[..., :3], rast, clip, faces, topo_aa)
-        pred_normals = safe_normalize(pred_normals)
+        aa_w = antialias_weights(rast, clip, faces, topo_aa)
+        pred_mask = apply_antialias(feat[..., 3:4], aa_w)[..., 0]
+        pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         valid = (mask > 0) & (rast[..., 3] > 0)  # [b, H, W]
         basis = sh_basis(pred_normals, cfg.degree)  # [b, H, W, d2]
         vb = valid[..., None] * basis
@@ -213,9 +214,9 @@ def run_ham(
         feat = interpolate(
             jnp.concatenate([normals, albedo_p], -1), rast, faces
         )
-        pred_normals = antialias(feat[..., :3], rast, clip, faces, topo_aa)
-        pred_normals = safe_normalize(pred_normals)
-        rast_albedo = antialias(feat[..., 3:6], rast, clip, faces, topo_aa)
+        aa_w = antialias_weights(rast, clip, faces, topo_aa)
+        pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
+        rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
         valid = (masks[idx] > 0) & (rast[..., 3] > 0)
         rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals, cfg.degree)
         pred = rad[..., None] * rast_albedo
@@ -259,13 +260,14 @@ def run_ham(
         )
         pred_normals = safe_normalize(feat[..., :3])
         rast_albedo = feat[..., 3:6]
-        pred_mask = antialias(feat[..., 6:7], rast, clip, faces, topo_aa)[..., 0]
+        aa_w = antialias_weights(rast, clip, faces, topo_aa)
+        pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
 
         valid = ((masks[idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_coeffs[idx][:, None, None, :], pred_normals, cfg.degree)
         pred = rad[..., None] * rast_albedo
         tmp_img = jnp.where(valid[..., None] > 0, pred, 0.0)
-        tmp_img = antialias(tmp_img, rast, clip, faces, topo_aa)
+        tmp_img = apply_antialias(tmp_img, aa_w)
 
         sfs = cfg.sfs_weight * _masked_l1(tmp_img, imgs[idx], valid)
         lap = cfg.lap_weight * laplacian_smoothing(verts, edges, degrees)

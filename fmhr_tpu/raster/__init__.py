@@ -28,6 +28,7 @@ attr = u·a0 + v·a1 + (1−u−v)·a2; `rast[..., 2]` = z/w (screen-linear);
 """
 
 from .api import rasterize, interpolate, rasterize_ids
-from .antialias import antialias, AATopology
+from .antialias import antialias, antialias_weights, apply_antialias, AATopology
 
-__all__ = ["rasterize", "interpolate", "rasterize_ids", "antialias", "AATopology"]
+__all__ = ["rasterize", "interpolate", "rasterize_ids", "antialias",
+           "antialias_weights", "apply_antialias", "AATopology"]

@@ -123,12 +123,10 @@ def _pair_blend(
     return s, jax.lax.stop_gradient(valid)
 
 
-def _aa_axis(color, ids, zw, tri_u, tri_v, w_ok, eids, u_centers, v_centers):
-    """One-axis AA pass. The pair axis is the LAST spatial axis of all
-    inputs; tri_u/tri_v are per-pixel triangle screen coords along (u, v).
-
-    Returns delta arrays (d_p, d_q) of shape color[..., :-1 pairs, C].
-    """
+def _aa_axis_weights(ids, zw, tri_u, tri_v, w_ok, eids, u_centers, v_centers):
+    """One-axis AA pass, geometry only. The pair axis is the LAST spatial
+    axis of all inputs; tri_u/tri_v are per-pixel triangle screen coords
+    along (u, v). Returns (alpha_p, alpha_q) of shape [..., pairs]."""
     sl_p = (slice(None),) * (ids.ndim - 1) + (slice(None, -1),)
     sl_q = (slice(None),) * (ids.ndim - 1) + (slice(1, None),)
 
@@ -146,21 +144,32 @@ def _aa_axis(color, ids, zw, tri_u, tri_v, w_ok, eids, u_centers, v_centers):
     alpha_p = jnp.maximum(0.5 - s, 0.0)
     alpha_q = jnp.where(valid, alpha_q, 0.0)
     alpha_p = jnp.where(valid, alpha_p, 0.0)
+    return alpha_p, alpha_q
 
+
+def _aa_axis_apply(color, alpha_p, alpha_q):
+    """Apply one-axis blend deltas; pair axis = last spatial axis."""
+    ndim = alpha_p.ndim
+    sl_p = (slice(None),) * (ndim - 1) + (slice(None, -1),)
+    sl_q = (slice(None),) * (ndim - 1) + (slice(1, None),)
     c_p, c_q = color[sl_p], color[sl_q]
     d_q = alpha_q[..., None] * (c_p - c_q)
     d_p = alpha_p[..., None] * (c_q - c_p)
     return d_p, d_q
 
 
-def antialias(color, rast, clip, faces, topology: AATopology | None = None):
-    """Antialias `color` [B, H, W, C] at silhouettes. Differentiable in
-    both `color` and `clip`.
+def antialias_weights(rast, clip, faces, topology: AATopology | None = None):
+    """Geometry-only AA pass: blend weights for both pair axes.
 
-    Parity: `dr.antialias(color, rast_out, proj_verts, faces)`.
+    The weights depend only on (rast, clip, topology); computing them once
+    and applying to several color buffers (mask + shaded image in HAM
+    Stage B) halves the dominant gather cost. Differentiable in `clip`.
+
+    Returns an opaque dict for `apply_antialias`.
     """
     faces = jnp.asarray(faces, jnp.int32)
-    B, H, W, C = color.shape
+    B, H, W = rast.shape[:3]
+    dtype = rast.dtype
     ids = rast[..., 3].astype(jnp.int32)
     zw = rast[..., 2]
 
@@ -182,24 +191,37 @@ def antialias(color, rast, clip, faces, topology: AATopology | None = None):
         eids = None
 
     # pixel centers in NDC
-    px = (jnp.arange(W, dtype=color.dtype) + 0.5) * (2.0 / W) - 1.0
-    py = (jnp.arange(H, dtype=color.dtype) + 0.5) * (2.0 / H) - 1.0
+    px = (jnp.arange(W, dtype=dtype) + 0.5) * (2.0 / W) - 1.0
+    py = (jnp.arange(H, dtype=dtype) + 0.5) * (2.0 / H) - 1.0
 
-    out = color
-
-    # Horizontal pairs: pair axis = W; u = x, v = y (per row).
-    d_p, d_q = _aa_axis(
-        color, ids, zw, sx, sy, w_ok, eids,
+    h_p, h_q = _aa_axis_weights(
+        ids, zw, sx, sy, w_ok, eids,
         u_centers=px, v_centers=py[None, :, None],
     )
-    out = out.at[:, :, :-1].add(d_p).at[:, :, 1:].add(d_q)
-
-    # Vertical pairs: transpose H<->W, swap u<->v.
     tr = lambda a: jnp.swapaxes(a, 1, 2)
-    d_p, d_q = _aa_axis(
-        tr(color), tr(ids), tr(zw), tr(sy), tr(sx), tr(w_ok),
+    v_p, v_q = _aa_axis_weights(
+        tr(ids), tr(zw), tr(sy), tr(sx), tr(w_ok),
         None if eids is None else tr(eids),
         u_centers=py, v_centers=px[None, :, None],
     )
+    return {"h": (h_p, h_q), "v": (v_p, v_q)}
+
+
+def apply_antialias(color, weights):
+    """Blend `color` [B, H, W, C] with precomputed AA weights."""
+    out = color
+    d_p, d_q = _aa_axis_apply(color, *weights["h"])
+    out = out.at[:, :, :-1].add(d_p).at[:, :, 1:].add(d_q)
+    tr = lambda a: jnp.swapaxes(a, 1, 2)
+    d_p, d_q = _aa_axis_apply(tr(color), *weights["v"])
     out = out.at[:, :-1, :].add(tr(d_p)).at[:, 1:, :].add(tr(d_q))
     return out
+
+
+def antialias(color, rast, clip, faces, topology: AATopology | None = None):
+    """Antialias `color` [B, H, W, C] at silhouettes. Differentiable in
+    both `color` and `clip`.
+
+    Parity: `dr.antialias(color, rast_out, proj_verts, faces)`.
+    """
+    return apply_antialias(color, antialias_weights(rast, clip, faces, topology))

@@ -25,11 +25,17 @@ from .geometry import (
 from .visibility import rasterize_ids_naive, rasterize_ids_binned
 
 
+def default_capacity(num_faces: int) -> int:
+    """Per-tile bin capacity heuristic: cover the whole mesh for small
+    meshes (no drops possible), cap the pre-gather for large ones."""
+    return int(min(max(128, num_faces), 2048))
+
+
 def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
     """Per-pixel triangle ids, [B, H, W] int32, 0 = background.
 
     resolution: (H, W) — nvdiffrast order (`mesh_sfs_optim.py:54`).
-    impl: 'naive' | 'binned' | 'auto' (binned for larger meshes).
+    impl: 'naive' | 'binned' | 'pallas' | 'auto'.
     """
     h, w = resolution
     faces = jnp.asarray(faces, jnp.int32)
@@ -37,6 +43,11 @@ def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
         impl = "binned" if faces.shape[0] > 2048 or h * w > 128 * 128 else "naive"
     if impl == "naive":
         return rasterize_ids_naive(clip, faces, h, w)
+    kw.setdefault("capacity", default_capacity(int(faces.shape[0])))
+    if impl == "pallas":
+        from .pallas_visibility import rasterize_ids_pallas
+
+        return rasterize_ids_pallas(clip, faces, h, w, **kw)
     return rasterize_ids_binned(clip, faces, h, w, **kw)
 
 

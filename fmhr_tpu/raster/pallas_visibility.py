@@ -1,0 +1,189 @@
+"""Pallas TPU kernel for the visibility phase.
+
+Same contract as `rasterize_ids_binned` (visibility.py) but the per-tile
+depth-test loop runs as a Mosaic kernel: each grid step owns one
+(view, tile, face-chunk); triangle clip coordinates arrive as SMEM
+scalars (96 floats per chunk), pixel NDC coordinates are generated
+in-register from the tile index, and the (z, id) running minimum lives in
+VMEM scratch across the chunk grid dimension — nothing but the final id
+block touches HBM. The pure-JAX scan version materializes
+[B, T, chunk, th, tw] intermediates in HBM every step (~measured 7 s/frame
+at 512², 4 views, 6k faces on TPU v5e); this kernel is the
+memory-bound-to-compute-bound flip.
+
+Binning (bbox -> sort -> fixed-capacity bins) stays in JAX — tiny
+O(F log F) index work that XLA handles well; the kernel consumes the
+pre-gathered per-tile triangle table [B, T, K, 12] and id table [B, T, K].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .visibility import _bin_one_view
+from .geometry import W_EPS, AREA_EPS
+
+_BIG = np.float32(3.0e38)
+
+
+def _make_kernel(n_chunks, chunk, tile_h, tile_w, tiles_x, height, width):
+    inv_w2 = np.float32(2.0 / width)
+    inv_h2 = np.float32(2.0 / height)
+
+    def kernel(tri_ref, ids_ref, out_ref, zbest_ref, ibest_ref):
+        # tri_ref: [1, 1, 1, chunk, 12] SMEM; ids_ref: [1, 1, 1, chunk, 1] SMEM
+        # out_ref: [1, 1, tile_h, tile_w] VMEM int32
+        t = pl.program_id(1)
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _():
+            zbest_ref[:] = jnp.full(zbest_ref.shape, _BIG, jnp.float32)
+            ibest_ref[:] = jnp.zeros(ibest_ref.shape, jnp.int32)
+
+        ty = t // tiles_x
+        tx = t % tiles_x
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        pxb = (col + tx * tile_w).astype(jnp.float32) * inv_w2 + (0.5 * inv_w2 - 1.0)
+        pyb = (row + ty * tile_h).astype(jnp.float32) * inv_h2 + (0.5 * inv_h2 - 1.0)
+
+        zbest = zbest_ref[:]
+        ibest = ibest_ref[:]
+        for k in range(chunk):  # static unroll; chunk is small
+            face_id = ids_ref[0, 0, 0, k, 0]
+            tr = lambda j: tri_ref[0, 0, 0, k, j]
+            x0, y0, z0, w0 = tr(0), tr(1), tr(2), tr(3)
+            x1, y1, z1, w1 = tr(4), tr(5), tr(6), tr(7)
+            x2, y2, z2, w2 = tr(8), tr(9), tr(10), tr(11)
+            iw0 = 1.0 / jnp.where(jnp.abs(w0) > W_EPS, w0, W_EPS)
+            iw1 = 1.0 / jnp.where(jnp.abs(w1) > W_EPS, w1, W_EPS)
+            iw2 = 1.0 / jnp.where(jnp.abs(w2) > W_EPS, w2, W_EPS)
+            sx0, sy0 = x0 * iw0, y0 * iw0
+            sx1, sy1 = x1 * iw1, y1 * iw1
+            sx2, sy2 = x2 * iw2, y2 * iw2
+            d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
+            l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
+            l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
+            l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
+            sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
+            ok = (
+                (face_id > 0)
+                & (jnp.abs(d) > AREA_EPS)
+                & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS)
+            )
+            cov = (sgn * l0 >= 0.0) & (sgn * l1 >= 0.0) & (sgn * l2 >= 0.0) & ok
+            inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
+            zw = (l0 * (z0 * iw0) + l1 * (z1 * iw1) + l2 * (z2 * iw2)) * inv_d
+            zw = jnp.where(cov, zw, _BIG)
+            better = zw < zbest
+            zbest = jnp.where(better, zw, zbest)
+            ibest = jnp.where(better, face_id, ibest)
+        zbest_ref[:] = zbest
+        ibest_ref[:] = ibest
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[0, 0] = ibest_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "tile_h", "tile_w", "capacity", "chunk",
+        "max_span", "global_capacity", "interpret",
+    ),
+)
+def rasterize_ids_pallas(
+    clip: jax.Array,
+    faces,
+    height: int,
+    width: int,
+    *,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    capacity: int = 512,
+    chunk: int = 8,
+    max_span: int = 16,
+    global_capacity: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-pixel ids via the Pallas kernel. Contract of rasterize_ids_*."""
+    faces = jnp.asarray(faces, jnp.int32)
+    B = clip.shape[0]
+    F = faces.shape[0]
+    tiles_y = math.ceil(height / tile_h)
+    tiles_x = math.ceil(width / tile_w)
+    T = tiles_y * tiles_x
+    Hp, Wp = tiles_y * tile_h, tiles_x * tile_w
+
+    tri = clip[:, faces]  # [B, F, 3, 4]
+    bins, counts, big = jax.vmap(
+        lambda t: _bin_one_view(
+            t, tile_h=tile_h, tile_w=tile_w, tiles_y=tiles_y, tiles_x=tiles_x,
+            height=height, width=width, max_span=max_span,
+            capacity=capacity, global_capacity=global_capacity,
+        )
+    )(tri)
+
+    G = big.shape[1]
+    work = jnp.concatenate(
+        [bins, jnp.broadcast_to(big[:, None, :], (B, T, G))], axis=2
+    )  # [B, T, K+G] face indices, -1 = empty
+    K_total = work.shape[2]
+    n_chunks = math.ceil(K_total / chunk)
+    pad = n_chunks * chunk - K_total
+    work = jnp.pad(work, ((0, 0), (0, 0), (0, pad)), constant_values=-1)
+
+    # Pre-gather triangle clip coords per bin entry: [B, T, K, 12].
+    sent = jnp.concatenate(
+        [jnp.zeros((B, 1, 3, 3), tri.dtype), jnp.full((B, 1, 3, 1), -1.0, tri.dtype)],
+        axis=-1,
+    )
+    tri_ext = jnp.concatenate([tri, sent], axis=1).reshape(B, F + 1, 12)
+    gather_idx = jnp.where(work >= 0, work, F)
+    binned_tri = jax.vmap(lambda t, i: t[i])(tri_ext, gather_idx)
+    binned_ids = jnp.where(work >= 0, work + 1, 0).astype(jnp.int32)
+
+    assert chunk % 8 == 0, "chunk must be a multiple of 8 (TPU block rule)"
+    kernel = _make_kernel(n_chunks, chunk, tile_h, tile_w, tiles_x, height, width)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, T, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, chunk, 12), lambda b, t, c: (b, t, c, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, chunk, 1), lambda b, t, c: (b, t, c, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile_h, tile_w), lambda b, t, c: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, tile_h, tile_w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        binned_tri.reshape(B, T, n_chunks, chunk, 12),
+        binned_ids.reshape(B, T, n_chunks, chunk, 1),
+    )
+
+    img = out.reshape(B, tiles_y, tiles_x, tile_h, tile_w)
+    img = img.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)
+    return img[:, :height, :width]

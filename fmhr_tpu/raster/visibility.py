@@ -33,6 +33,7 @@ from .geometry import (
     tri_depth_zw,
     coverage,
     W_EPS,
+    AREA_EPS,
 )
 
 _BIG = jnp.float32(jnp.inf)
@@ -247,29 +248,41 @@ def rasterize_ids_binned(
     work_s = work.reshape(B, T, n_chunks, chunk).transpose(2, 0, 1, 3)  # [n, B, T, c]
 
     def body(carry, w_chunk):
+        # Unrolled per-triangle where-min: every k adds ~20 elementwise ops
+        # on the [B, T, th, tw] block and XLA fuses the whole chunk into a
+        # single kernel — no [B, T, chunk, th, tw] HBM intermediates (the
+        # earlier stack+argmin formulation measured ~7 s/frame at 512² on
+        # TPU v5e; this form is bandwidth-bound on the carry only).
         zb, ib = carry  # [B, T, th, tw]
         tri_c = _gather_tri_batched(tri_ext, w_chunk)  # [B, T, c, 3, 4]
-        sx, sy, ww = screen_xy(tri_c)  # [B, T, c, 3]
-        lam, d = tri_screen_barycentrics(
-            sx[:, :, :, None, None, :], sy[:, :, :, None, None, :],
-            px_t[None, :, None, None, :], py_t[None, :, None, :, None],
-        )  # [B, T, c, th, tw, 3]
-        cov = coverage(lam, d, ww[:, :, :, None, None, :])
-        cov = cov & (w_chunk[:, :, :, None, None] >= 0)
-        zw = tri_depth_zw(lam, tri_c[:, :, :, None, None, :, :])
-        zw = jnp.where(cov, zw, _BIG)
-        # Prefer lowest face id on depth ties -> min over (z, id) lexicographic.
-        best = jnp.argmin(zw, axis=2)  # [B, T, th, tw]
-        zbest = jnp.take_along_axis(zw, best[:, :, None], axis=2)[:, :, 0]
-        idbest = jnp.take_along_axis(
-            jnp.broadcast_to(w_chunk[:, :, :, None, None] + 1, zw.shape),
-            best[:, :, None], axis=2,
-        )[:, :, 0]
-        better = zbest < zb
-        return (
-            jnp.where(better, zbest, zb),
-            jnp.where(better & (zbest < _BIG), idbest, ib),
-        ), None
+        pxb = px_t[None, :, None, :]  # [1, T, 1, tw]
+        pyb = py_t[None, :, :, None]  # [1, T, th, 1]
+        for k in range(chunk):
+            tri_k = tri_c[:, :, k]  # [B, T, 3, 4]
+            sx, sy, ww = screen_xy(tri_k)  # [B, T, 3]
+            e = lambda a: a[:, :, None, None]
+            sx0, sx1, sx2 = e(sx[..., 0]), e(sx[..., 1]), e(sx[..., 2])
+            sy0, sy1, sy2 = e(sy[..., 0]), e(sy[..., 1]), e(sy[..., 2])
+            d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
+            l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
+            l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
+            l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
+            sgn = jnp.where(d >= 0, 1.0, -1.0)
+            ok = (
+                (w_chunk[:, :, k] >= 0)
+                & (jnp.min(ww, axis=-1) > W_EPS)
+            )[:, :, None, None] & (jnp.abs(d) > AREA_EPS)
+            cov = (sgn * l0 >= 0) & (sgn * l1 >= 0) & (sgn * l2 >= 0) & ok
+            iw = 1.0 / jnp.where(jnp.abs(ww) > W_EPS, ww, W_EPS)
+            zws = tri_k[..., 2] * iw  # [B, T, 3]
+            inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
+            zw = (l0 * e(zws[..., 0]) + l1 * e(zws[..., 1])
+                  + l2 * e(zws[..., 2])) * inv_d
+            zw = jnp.where(cov, zw, _BIG)
+            better = zw < zb
+            zb = jnp.where(better, zw, zb)
+            ib = jnp.where(better, (w_chunk[:, :, k] + 1)[:, :, None, None], ib)
+        return (zb, ib), None
 
     init = (
         jnp.full((B, T, tile_h, tile_w), _BIG),
