@@ -68,8 +68,7 @@ def main() -> None:
     )
     from fmhr_tpu.core.sh import sh_radiance
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
-    from fmhr_tpu.raster import (rasterize, interpolate,
-        antialias_weights, apply_antialias, AATopology)
+    from fmhr_tpu.raster import (render_pixels, apply_antialias, AATopology)
 
     res, n_views, subdiv, iters = PRESETS[args.preset]
     verts, faces, w2cs, projs = hand_scene(res=res, n_views=n_views, subdiv=subdiv)
@@ -98,14 +97,13 @@ def main() -> None:
     def loss_fn(params):
         v = verts0 + params["delta"]
         clip = project_verts(v, w2cs, projs)
-        rast = rasterize(clip, faces_j, (res, res))
         normals = vertex_normals(v, faces_j)
-        feat = interpolate(
+        rast, feat, aa_w = render_pixels(
+            clip,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
-            rast, faces_j,
+            faces_j, (res, res), aa_topology=topo_aa,
         )
         nrm = safe_normalize(feat[..., :3])
-        aa_w = antialias_weights(rast, clip, faces_j, topo_aa)
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
         valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3)

@@ -88,8 +88,7 @@ def make_sharded_ham_step(
         vertex_normals, edge_lengths_sq, laplacian_smoothing, safe_normalize,
     )
     from ..core.sh import sh_radiance
-    from ..raster import (rasterize, interpolate, antialias_weights,
-                          apply_antialias)
+    from ..raster import render_pixels, apply_antialias
 
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces, jnp.int32)
@@ -106,16 +105,15 @@ def make_sharded_ham_step(
     def loss_fn(params, batch):
         verts = vertices + params["delta"]
         clip = project_verts(verts, batch["w2cs"], batch["projs"])
-        rast = rasterize(clip, faces, res)
         normals = vertex_normals(verts, faces)
-        feat = interpolate(
+        rast, feat, aa_w = render_pixels(
+            clip,
             jnp.concatenate(
                 [normals, params["albedo"], jnp.ones_like(verts[:, :1])], -1
             ),
-            rast, faces,
+            faces, res, aa_topology=topo_aa,
         )
         pred_normals = safe_normalize(feat[..., :3])
-        aa_w = antialias_weights(rast, clip, faces, topo_aa)
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
         valid = ((batch["masks"] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(

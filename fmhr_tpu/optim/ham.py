@@ -42,8 +42,8 @@ from ..core.mesh import (
     safe_normalize,
 )
 from ..core.sh import sh_basis, sh_radiance
-from ..raster import (rasterize, interpolate, antialias,
-                      antialias_weights, apply_antialias, AATopology)
+from ..raster import (rasterize, render_pixels, interpolate,
+                      antialias, antialias_weights, apply_antialias, AATopology)
 from ..utils.config import Config
 
 
@@ -117,12 +117,11 @@ def sh_init(
 
     def one_chunk(w2c, proj, mask, gray, img):
         clip = project_verts(vertices, w2c, proj)
-        rast = rasterize(clip, faces, res)
-        feat = interpolate(
+        rast, feat, aa_w = render_pixels(
+            clip,
             jnp.concatenate([normals, jnp.ones_like(normals[:, :1])], -1),
-            rast, faces,
+            faces, res, aa_topology=topo_aa,
         )
-        aa_w = antialias_weights(rast, clip, faces, topo_aa)
         pred_mask = apply_antialias(feat[..., 3:4], aa_w)[..., 0]
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         valid = (mask > 0) & (rast[..., 3] > 0)  # [b, H, W]
@@ -209,12 +208,11 @@ def run_ham(
     def render_stage_a(albedo_p, sh_p, idx):
         w2c, proj = w2cs[idx], projs[idx]
         clip = project_verts(vertices, w2c, proj)
-        rast = rasterize(clip, faces, res)
         normals = vertex_normals(vertices, faces)
-        feat = interpolate(
-            jnp.concatenate([normals, albedo_p], -1), rast, faces
+        rast, feat, aa_w = render_pixels(
+            clip, jnp.concatenate([normals, albedo_p], -1),
+            faces, res, aa_topology=topo_aa,
         )
-        aa_w = antialias_weights(rast, clip, faces, topo_aa)
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
         valid = (masks[idx] > 0) & (rast[..., 3] > 0)
@@ -252,15 +250,14 @@ def run_ham(
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
         clip = project_verts(verts, w2c, proj)
-        rast = rasterize(clip, faces, res)
         normals = vertex_normals(verts, faces)
-        feat = interpolate(
+        rast, feat, aa_w = render_pixels(
+            clip,
             jnp.concatenate([normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
-            rast, faces,
+            faces, res, aa_topology=topo_aa,
         )
         pred_normals = safe_normalize(feat[..., :3])
         rast_albedo = feat[..., 3:6]
-        aa_w = antialias_weights(rast, clip, faces, topo_aa)
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
 
         valid = ((masks[idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)

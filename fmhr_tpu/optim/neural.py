@@ -35,8 +35,21 @@ from ..core.mesh import (
 )
 from ..nn.pe import IcosahedronEncoding
 from ..nn.mlp import RenderMLP
+from ..nn.unet import RenderUNet
 from ..raster import rasterize, interpolate
 from .ham import project_verts, _make_batcher
+
+
+def pad_to_multiple(x, mult=16):
+    """Pad H/W of [B, H, W, C] up to a multiple (UNet needs /16; the
+    reference pads W to /8, `train_unet.py:192-196`). Returns (padded,
+    crop_slices)."""
+    B, H, W, C = x.shape
+    ph = (-H) % mult
+    pw = (-W) % mult
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x, (slice(0, H), slice(0, W))
 
 
 def neural_forward(
@@ -120,9 +133,11 @@ def train_neural_renderer(
     uni_mode: str = "random",
     mlp_width: int = 256,
     mlp_depth: int = 8,
+    net_type: str = "mlp",
 ):
-    """Two-phase MLP-head training. Returns (NeuralRenderState, losses1,
-    losses2). Image tensors are [N, H, W, ...]; vertices/albedo [V, 3].
+    """Two-phase renderer training (net_type 'mlp' or 'unet'). Returns
+    (NeuralRenderState, losses1, losses2, modules). Image tensors are
+    [N, H, W, ...]; vertices/albedo [V, 3].
     """
     imgs = jnp.asarray(imgs, jnp.float32)
     gt_masks = jnp.asarray(gt_masks, jnp.float32)
@@ -140,20 +155,36 @@ def train_neural_renderer(
     edges, degrees = jnp.asarray(topo.edges), jnp.asarray(topo.degrees)
     pe = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
 
-    net = RenderMLP(width=mlp_width, depth=mlp_depth)
-    net_g = RenderMLP(width=mlp_width, depth=mlp_depth)
     key = jax.random.PRNGKey(seed)
     k1, k2, key = jax.random.split(key, 3)
     in_dim = pe.embedding_size * 3 + 3 + feat_dim  # 284
-    net_params = net.init(k1, jnp.zeros((1, in_dim)))
-    net_g_params = net_g.init(k2, jnp.zeros((1, 12)))
+    if net_type == "mlp":
+        net = RenderMLP(width=mlp_width, depth=mlp_depth)
+        net_g = RenderMLP(width=mlp_width, depth=mlp_depth)
+        net_params = net.init(k1, jnp.zeros((1, in_dim)))
+        net_g_params = net_g.init(k2, jnp.zeros((1, 12)))
+
+        def apply_net(module):
+            return lambda p, x: module.apply(p, x)
+    else:
+        net = RenderUNet(out_channels=3, feature_scale=2)
+        net_g = RenderUNet(out_channels=3, feature_scale=2)
+        net_params = net.init(k1, jnp.zeros((1, 32, 32, in_dim)))
+        net_g_params = net_g.init(k2, jnp.zeros((1, 32, 32, 12)))
+
+        def apply_net(module):
+            def f(p, x):
+                xp, crop = pad_to_multiple(x, 16)
+                out = module.apply(p, xp, mutable=["batch_stats"])[0]
+                return out[:, crop[0], crop[1]]
+            return f
     vertex_feat = jnp.zeros((V, feat_dim))
 
     edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
     vertices_tmp = vertices
 
     def render(net_p, vf, verts, alb, idx, rng, if_geo=False, geo_p=None, img_z=None):
-        f = (lambda p, x: net_g.apply(p, x)) if if_geo else (lambda p, x: net.apply(p, x))
+        f = apply_net(net_g) if if_geo else apply_net(net)
         return neural_forward(
             f, geo_p if if_geo else net_p, pe,
             rays[idx], w2cs[idx], projs[idx],

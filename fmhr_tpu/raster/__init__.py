@@ -27,8 +27,10 @@ attr = u·a0 + v·a1 + (1−u−v)·a2; `rast[..., 2]` = z/w (screen-linear);
 `rast[..., 3]` = triangle_id + 1 (0 = background); pixel row 0 = NDC y=-1.
 """
 
-from .api import rasterize, interpolate, rasterize_ids
+from .api import (rasterize, interpolate, rasterize_ids,
+                  rasterize_with_context, render_pixels)
 from .antialias import antialias, antialias_weights, apply_antialias, AATopology
 
-__all__ = ["rasterize", "interpolate", "rasterize_ids", "antialias",
+__all__ = ["rasterize", "interpolate", "rasterize_ids",
+           "rasterize_with_context", "render_pixels", "antialias",
            "antialias_weights", "apply_antialias", "AATopology"]

@@ -20,6 +20,9 @@ Blending rule (s in (0,1) measured from pixel p toward pixel q):
 Interior (shared) edges between the two triangles are skipped when a
 topology is supplied; without topology the color difference across a
 shared edge is already ~0 so the correction degrades gracefully.
+
+Layout note (TPU): all math runs on [B, H, W]-shaped component arrays
+(structure-of-arrays) — see api.py.
 """
 
 from __future__ import annotations
@@ -30,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .geometry import screen_xy
+from .geometry import W_EPS
+from .api import raster_context
 
 _DENOM_EPS = 1e-12
 
@@ -55,154 +59,130 @@ class AATopology:
         return cls(face_edge_ids=ids.astype(np.int32))
 
 
-def _first_valid(s_k, valid_k):
-    """Select the first valid crossing along axis 0 (k=3 edges)."""
-    idx = jnp.argmax(valid_k, axis=0)  # first True (or 0 if none)
-    take = lambda a: jnp.take_along_axis(a, idx[None], axis=0)[0]
-    return take(s_k), take(valid_k)
+def _slice_pair(a, axis):
+    """(a[..., :-1, ...], a[..., 1:, ...]) along `axis`."""
+    n = a.shape[axis]
+    return (
+        jax.lax.slice_in_dim(a, 0, n - 1, axis=axis),
+        jax.lax.slice_in_dim(a, 1, n, axis=axis),
+    )
 
 
-def _pair_blend(
-    cu, cv, w_ok,            # tri screen coords [.., 3] + all-vertex validity
-    eids,                    # per-pixel face edge ids [.., 3] (or None)
-    ids,                     # per-pixel face ids [..]
-    zw,                      # per-pixel depth [..]
-    u_p, u_q, v_c,           # pair-axis coords of the two centers + cross coord
-):
-    """Compute blend factor s and validity for pixel pairs.
+def _side_crossing(su, sv, covered, w_ok, shared_skip, v_c, u_p, u_q):
+    """Crossing position of one pixel-side's triangle edges with the
+    center segment. su/sv: 3-tuples of [pairs]-shaped corner coords.
 
-    All arrays are already arranged so the LAST spatial axis steps between
-    the paired pixels: inputs carry a leading pair-side axis of size 2
-    (index 0 = pixel p, 1 = pixel q).
-    """
-    covered = ids > 0
-    differ = ids[0] != ids[1]
-    any_cov = covered[0] | covered[1]
-    pair_active = differ & any_cov
+    Returns (s, valid)."""
+    s_sel = None
+    v_sel = None
+    for k in range(3):
+        a, b = k, (k + 1) % 3
+        denom = sv[b] - sv[a]
+        safe = jnp.where(jnp.abs(denom) > _DENOM_EPS, denom, _DENOM_EPS)
+        t = (v_c - sv[a]) / safe
+        u_int = su[a] + t * (su[b] - su[a])
+        s = (u_int - u_p) / (u_q - u_p)
+        ok = (
+            (jnp.abs(denom) > _DENOM_EPS)
+            & (t >= 0.0) & (t <= 1.0)
+            & (s > 0.0) & (s < 1.0)
+            & covered & w_ok
+        )
+        if shared_skip is not None:
+            ok = ok & ~shared_skip[k]
+        if s_sel is None:
+            s_sel, v_sel = s, ok
+        else:
+            take_new = ok & ~v_sel
+            s_sel = jnp.where(take_new, s, s_sel)
+            v_sel = v_sel | ok
+    return s_sel, v_sel
 
-    # shared-edge test (both covered, same geometric edge -> continuous)
+
+def _aa_axis_weights(ids, zw, su, sv, w_ok, eids, u_centers, v_centers, axis):
+    """One-axis AA weights. su/sv: 3-tuples of [B, H, W] corner screen
+    coords along the pair direction (u) and across it (v); `axis` is the
+    spatial pair axis (2 = horizontal W-pairs, 1 = vertical H-pairs)."""
+    P = lambda a: _slice_pair(a, axis)
+    ids_p, ids_q = P(ids)
+    zw_p, zw_q = P(zw)
+    wok_p, wok_q = P(w_ok)
+    su_p, su_q = zip(*(P(a) for a in su))
+    sv_p, sv_q = zip(*(P(a) for a in sv))
+
+    covered_p = ids_p > 0
+    covered_q = ids_q > 0
+    pair_active = (ids_p != ids_q) & (covered_p | covered_q)
+
     if eids is not None:
-        both = covered[0] & covered[1]
-        # shared[side][..., k]: is edge k of `side`'s triangle also an edge
-        # of the OTHER pixel's triangle?
-        shared = [
-            (eids[side][..., :, None] == eids[1 - side][..., None, :]).any(-1)
-            for side in (0, 1)
+        e_p, e_q = zip(*(P(e) for e in eids))
+        both = covered_p & covered_q
+        shared_p = [
+            both & ((e_p[k] == e_q[0]) | (e_p[k] == e_q[1]) | (e_p[k] == e_q[2]))
+            for k in range(3)
+        ]
+        shared_q = [
+            both & ((e_q[k] == e_p[0]) | (e_q[k] == e_p[1]) | (e_q[k] == e_p[2]))
+            for k in range(3)
         ]
     else:
-        both = None
-        shared = None
+        shared_p = shared_q = None
 
-    def side_crossing(side):
-        su, sv = cu[side], cv[side]  # [.., 3]
-        s_list, v_list = [], []
-        for k in range(3):
-            a, b = k, (k + 1) % 3
-            denom = sv[..., b] - sv[..., a]
-            safe = jnp.where(jnp.abs(denom) > _DENOM_EPS, denom, _DENOM_EPS)
-            t = (v_c - sv[..., a]) / safe
-            u_int = su[..., a] + t * (su[..., b] - su[..., a])
-            s = (u_int - u_p) / (u_q - u_p)
-            ok = (
-                (jnp.abs(denom) > _DENOM_EPS)
-                & (t >= 0.0) & (t <= 1.0)
-                & (s > 0.0) & (s < 1.0)
-                & covered[side] & w_ok[side]
-            )
-            if shared is not None:
-                ok = ok & ~(both & shared[side][..., k])
-            s_list.append(s)
-            v_list.append(ok)
-        return _first_valid(jnp.stack(s_list), jnp.stack(v_list))
+    u_p, u_q = u_centers[:-1], u_centers[1:]
+    sP, vP = _side_crossing(su_p, sv_p, covered_p, wok_p, shared_p,
+                            v_centers, u_p, u_q)
+    sQ, vQ = _side_crossing(su_q, sv_q, covered_q, wok_q, shared_q,
+                            v_centers, u_p, u_q)
 
-    sP, vP = side_crossing(0)
-    sQ, vQ = side_crossing(1)
-    use_p = vP & (~vQ | (zw[0] <= zw[1]))
+    use_p = vP & (~vQ | (zw_p <= zw_q))
     s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
-    valid = pair_active & (vP | vQ)
-    return s, jax.lax.stop_gradient(valid)
+    valid = jax.lax.stop_gradient(pair_active & (vP | vQ))
 
-
-def _aa_axis_weights(ids, zw, tri_u, tri_v, w_ok, eids, u_centers, v_centers):
-    """One-axis AA pass, geometry only. The pair axis is the LAST spatial
-    axis of all inputs; tri_u/tri_v are per-pixel triangle screen coords
-    along (u, v). Returns (alpha_p, alpha_q) of shape [..., pairs]."""
-    sl_p = (slice(None),) * (ids.ndim - 1) + (slice(None, -1),)
-    sl_q = (slice(None),) * (ids.ndim - 1) + (slice(1, None),)
-
-    pair = lambda a: jnp.stack([a[sl_p], a[sl_q]])
-    u_p = u_centers[:-1]
-    u_q = u_centers[1:]
-
-    s, valid = _pair_blend(
-        pair(tri_u), pair(tri_v), pair(w_ok),
-        None if eids is None else pair(eids),
-        pair(ids), pair(zw),
-        u_p, u_q, v_centers,
-    )
-    alpha_q = jnp.maximum(s - 0.5, 0.0)
-    alpha_p = jnp.maximum(0.5 - s, 0.0)
-    alpha_q = jnp.where(valid, alpha_q, 0.0)
-    alpha_p = jnp.where(valid, alpha_p, 0.0)
+    alpha_q = jnp.where(valid, jnp.maximum(s - 0.5, 0.0), 0.0)
+    alpha_p = jnp.where(valid, jnp.maximum(0.5 - s, 0.0), 0.0)
     return alpha_p, alpha_q
 
 
-def _aa_axis_apply(color, alpha_p, alpha_q):
-    """Apply one-axis blend deltas; pair axis = last spatial axis."""
-    ndim = alpha_p.ndim
-    sl_p = (slice(None),) * (ndim - 1) + (slice(None, -1),)
-    sl_q = (slice(None),) * (ndim - 1) + (slice(1, None),)
-    c_p, c_q = color[sl_p], color[sl_q]
-    d_q = alpha_q[..., None] * (c_p - c_q)
-    d_p = alpha_p[..., None] * (c_q - c_p)
-    return d_p, d_q
-
-
-def antialias_weights(rast, clip, faces, topology: AATopology | None = None):
+def antialias_weights(rast, clip, faces, topology: AATopology | None = None,
+                      context=None):
     """Geometry-only AA pass: blend weights for both pair axes.
 
     The weights depend only on (rast, clip, topology); computing them once
     and applying to several color buffers (mask + shaded image in HAM
-    Stage B) halves the dominant gather cost. Differentiable in `clip`.
+    Stage B) halves the dominant cost. Pass `context` from
+    `api.raster_context` to reuse the triangle gather the barycentric
+    phase already paid for. Differentiable in `clip`.
 
     Returns an opaque dict for `apply_antialias`.
     """
-    faces = jnp.asarray(faces, jnp.int32)
     B, H, W = rast.shape[:3]
     dtype = rast.dtype
     ids = rast[..., 3].astype(jnp.int32)
     zw = rast[..., 2]
 
-    F = faces.shape[0]
-    face_idx = jnp.where(ids > 0, ids - 1, F)
-    faces_ext = jnp.concatenate([faces, jnp.zeros((1, 3), jnp.int32)], axis=0)
-    pix_faces = faces_ext[face_idx]  # [B, H, W, 3]
-    tri = jax.vmap(lambda c, i: c[i])(clip, pix_faces.reshape(B, -1))
-    tri = tri.reshape(B, H, W, 3, 4)
-    sx, sy, w = screen_xy(tri)  # [B, H, W, 3]
-    w_ok = jnp.all(w > 0, axis=-1)
+    ctx = context if context is not None else raster_context(ids, clip, faces)
+    sx, sy = tuple(ctx["sx"]), tuple(ctx["sy"])
+    w_ok = ctx["w_ok"]
+    face_idx = ctx["face_idx"]
 
     if topology is not None:
         fe = jnp.concatenate(
             [jnp.asarray(topology.face_edge_ids), jnp.full((1, 3), -1, jnp.int32)]
         )
-        eids = fe[face_idx]  # [B, H, W, 3]
+        eids = tuple(fe[:, k][face_idx] for k in range(3))
     else:
         eids = None
 
-    # pixel centers in NDC
     px = (jnp.arange(W, dtype=dtype) + 0.5) * (2.0 / W) - 1.0
     py = (jnp.arange(H, dtype=dtype) + 0.5) * (2.0 / H) - 1.0
 
     h_p, h_q = _aa_axis_weights(
         ids, zw, sx, sy, w_ok, eids,
-        u_centers=px, v_centers=py[None, :, None],
+        u_centers=px, v_centers=py[None, :, None], axis=2,
     )
-    tr = lambda a: jnp.swapaxes(a, 1, 2)
     v_p, v_q = _aa_axis_weights(
-        tr(ids), tr(zw), tr(sy), tr(sx), tr(w_ok),
-        None if eids is None else tr(eids),
-        u_centers=py, v_centers=px[None, :, None],
+        ids, zw, sy, sx, w_ok, eids,
+        u_centers=py[:, None], v_centers=px[None, None, :], axis=1,
     )
     return {"h": (h_p, h_q), "v": (v_p, v_q)}
 
@@ -210,11 +190,15 @@ def antialias_weights(rast, clip, faces, topology: AATopology | None = None):
 def apply_antialias(color, weights):
     """Blend `color` [B, H, W, C] with precomputed AA weights."""
     out = color
-    d_p, d_q = _aa_axis_apply(color, *weights["h"])
-    out = out.at[:, :, :-1].add(d_p).at[:, :, 1:].add(d_q)
-    tr = lambda a: jnp.swapaxes(a, 1, 2)
-    d_p, d_q = _aa_axis_apply(tr(color), *weights["v"])
-    out = out.at[:, :-1, :].add(tr(d_p)).at[:, 1:, :].add(tr(d_q))
+    for key, axis in (("h", 2), ("v", 1)):
+        alpha_p, alpha_q = weights[key]
+        c_p, c_q = _slice_pair(color, axis)
+        d_q = alpha_q[..., None] * (c_p - c_q)
+        d_p = alpha_p[..., None] * (c_q - c_p)
+        if axis == 2:
+            out = out.at[:, :, :-1].add(d_p).at[:, :, 1:].add(d_q)
+        else:
+            out = out.at[:, :-1, :].add(d_p).at[:, 1:, :].add(d_q)
     return out
 
 

@@ -6,6 +6,12 @@ vertices flow through the barycentric recomputation exactly as in
 nvdiffrast's rasterize backward; silhouette gradients come from
 `antialias` (antialias.py). Together these replicate the gradient paths
 the reference relies on (`mesh_sfs_optim.py:142-147, 267-287`).
+
+Performance note (TPU): gathers indexed by [B, H, W] arrays cost ~10 ms
+each at 512²x4 on v5e, so the design minimizes GATHER COUNT: one fused
+[B, H, W, 3, 4] triangle gather shared by barycentrics AND antialias via
+`raster_context`, immediately unpacked into [B, H, W] per-component
+arrays so the elementwise math runs lane-aligned.
 """
 
 from __future__ import annotations
@@ -15,20 +21,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .geometry import (
-    pixel_ndc,
-    screen_xy,
-    tri_screen_barycentrics,
-    perspective_correct,
-    tri_depth_zw,
-)
+from .geometry import pixel_ndc, W_EPS, AREA_EPS
 from .visibility import rasterize_ids_naive, rasterize_ids_binned
 
 
 def default_capacity(num_faces: int) -> int:
     """Per-tile bin capacity heuristic: cover the whole mesh for small
-    meshes (no drops possible), cap the pre-gather for large ones."""
-    return int(min(max(128, num_faces), 2048))
+    meshes (no drops possible), cap the scan length for large ones (the
+    global oversized-triangle list keeps big faces correct regardless)."""
+    return int(min(max(128, num_faces), 512))
 
 
 def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
@@ -51,40 +52,91 @@ def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
     return rasterize_ids_binned(clip, faces, h, w, **kw)
 
 
+def raster_context(ids, clip, faces):
+    """Shared per-pixel triangle data for barycentrics + antialias.
+
+    ONE fused gather of the three corner clip 4-vectors, unpacked into
+    [B, H, W] component arrays. Returns a dict:
+      ids, mask, pix_faces [B,H,W,3],
+      x/y/z/w [k] per corner k, sx/sy (screen), iw (1/w), w_ok.
+    """
+    faces = jnp.asarray(faces, jnp.int32)
+    B = clip.shape[0]
+    F = faces.shape[0]
+    face_idx = jnp.where(ids > 0, ids - 1, F)
+    faces_ext = jnp.concatenate([faces, jnp.zeros((1, 3), jnp.int32)], axis=0)
+    pix_faces = faces_ext[face_idx]  # [B, H, W, 3]
+    tri = jax.vmap(lambda c, i: c[i])(clip, pix_faces.reshape(B, -1))
+    tri = tri.reshape(ids.shape + (3, 4))  # [B, H, W, 3, 4]
+
+    x, y, z, w, sx, sy, iw = [], [], [], [], [], [], []
+    for k in range(3):
+        xk = tri[..., k, 0]
+        yk = tri[..., k, 1]
+        zk = tri[..., k, 2]
+        wk = tri[..., k, 3]
+        iwk = 1.0 / jnp.where(jnp.abs(wk) > W_EPS, wk, W_EPS)
+        x.append(xk); y.append(yk); z.append(zk); w.append(wk)
+        iw.append(iwk)
+        sx.append(xk * iwk)
+        sy.append(yk * iwk)
+    w_ok = (w[0] > 0) & (w[1] > 0) & (w[2] > 0)
+    return {
+        "ids": ids, "mask": ids > 0, "face_idx": face_idx,
+        "x": x, "y": y, "z": z, "w": w, "iw": iw,
+        "sx": sx, "sy": sy, "w_ok": w_ok,
+    }
+
+
+def barycentrics_from_context(ctx, resolution, dtype=jnp.float32):
+    """rast [B, H, W, 4] from a `raster_context` (differentiable)."""
+    h, w = resolution
+    ids = ctx["ids"]
+    sx0, sx1, sx2 = ctx["sx"]
+    sy0, sy1, sy2 = ctx["sy"]
+    iw0, iw1, iw2 = ctx["iw"]
+    z0, z1, z2 = ctx["z"]
+
+    px, py = pixel_ndc(h, w, dtype)
+    pxb = px[None, None, :]
+    pyb = py[None, :, None]
+
+    d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
+    safe_d = jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
+    l0 = ((sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)) / safe_d
+    l1 = ((sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)) / safe_d
+    l2 = 1.0 - l0 - l1
+
+    lw0, lw1, lw2 = l0 * iw0, l1 * iw1, l2 * iw2
+    denom = lw0 + lw1 + lw2
+    denom = jnp.where(jnp.abs(denom) > W_EPS, denom, W_EPS)
+    u = lw0 / denom
+    v = lw1 / denom
+    zw = l0 * (z0 * iw0) + l1 * (z1 * iw1) + l2 * (z2 * iw2)
+
+    mask = ctx["mask"]
+    zero = jnp.zeros_like(u)
+    return jnp.stack(
+        [
+            jnp.where(mask, u, zero),
+            jnp.where(mask, v, zero),
+            jnp.where(mask, zw, zero),
+            jnp.where(mask, ids.astype(dtype), zero),
+        ],
+        axis=-1,
+    )
+
+
 def barycentrics_from_ids(ids, clip, faces, resolution):
     """Differentiable phase 2: ids + clip verts -> nvdiffrast-style rast.
 
     ids: [B, H, W] int32 (treated as constant); clip: [B, V, 4].
-    Returns rast [B, H, W, 4] = (u, v, z/w, id) with id cast to float,
-    zeros on background — matching nvdiffrast's output layout.
+    Returns rast [B, H, W, 4] = (u, v, z/w, id), zeros on background —
+    matching nvdiffrast's output layout.
     """
-    h, w = resolution
     ids = jax.lax.stop_gradient(ids)
-    faces = jnp.asarray(faces, jnp.int32)
-    F = faces.shape[0]
-    # Face gather with a dummy row for background (id 0 -> face F).
-    face_idx = jnp.where(ids > 0, ids - 1, F)
-    faces_ext = jnp.concatenate(
-        [faces, jnp.zeros((1, 3), jnp.int32)], axis=0
-    )
-    pix_faces = faces_ext[face_idx]  # [B, H, W, 3]
-    tri = jax.vmap(lambda c, i: c[i])(clip, pix_faces.reshape(clip.shape[0], -1))
-    tri = tri.reshape(ids.shape + (3, 4))  # [B, H, W, 3, 4]
-
-    px, py = pixel_ndc(h, w, clip.dtype)
-    sx, sy, ww = screen_xy(tri)
-    lam, _d = tri_screen_barycentrics(
-        sx, sy, px[None, None, :], py[None, :, None]
-    )
-    uvw = perspective_correct(lam, ww)  # [B, H, W, 3]
-    zw = tri_depth_zw(lam, tri)
-
-    mask = (ids > 0)[..., None]
-    rast = jnp.concatenate(
-        [uvw[..., 0:1], uvw[..., 1:2], zw[..., None], ids[..., None].astype(clip.dtype)],
-        axis=-1,
-    )
-    return jnp.where(mask, rast, 0.0)
+    ctx = raster_context(ids, clip, faces)
+    return barycentrics_from_context(ctx, resolution, clip.dtype)
 
 
 def rasterize(clip, faces, resolution, impl="auto", **kw):
@@ -95,6 +147,16 @@ def rasterize(clip, faces, resolution, impl="auto", **kw):
     """
     ids = rasterize_ids(clip, faces, resolution, impl=impl, **kw)
     return barycentrics_from_ids(ids, clip, faces, resolution)
+
+
+def rasterize_with_context(clip, faces, resolution, impl="auto", **kw):
+    """rasterize + reusable context: returns (rast, ctx). Pass ctx to
+    `antialias_weights(..., context=ctx)` to skip its triangle gather."""
+    ids = jax.lax.stop_gradient(
+        rasterize_ids(clip, faces, resolution, impl=impl, **kw)
+    )
+    ctx = raster_context(ids, clip, faces)
+    return barycentrics_from_context(ctx, resolution, clip.dtype), ctx
 
 
 def interpolate(attr, rast, faces):
@@ -123,9 +185,86 @@ def interpolate(attr, rast, faces):
 
     u = rast[..., 0:1]
     v = rast[..., 1:2]
-    w0 = u
-    w1 = v
     w2 = 1.0 - u - v
-    out = w0 * vals[..., 0, :] + w1 * vals[..., 1, :] + w2 * vals[..., 2, :]
+    out = u * vals[..., 0, :] + v * vals[..., 1, :] + w2 * vals[..., 2, :]
     mask = (ids > 0)[..., None]
     return jnp.where(mask, out, 0.0)
+
+
+def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
+                  **kw):
+    """Fused render: visibility + barycentrics + interpolation (+ AA
+    weights) from ONE per-pixel gather.
+
+    clip: [B, V, 4]; attr: [V, C] or [B, V, C]. Returns
+    (rast [B,H,W,4], feat [B,H,W,C], aa_weights|None).
+
+    The corner gather is the dominant per-pixel cost on TPU (~10 ms per
+    gather at 512²x4); concatenating clip and attributes into one table
+    makes the whole differentiable render path pay it once.
+    """
+    from .antialias import antialias_weights  # cycle-free at call time
+
+    faces = jnp.asarray(faces, jnp.int32)
+    h, w = resolution
+    B = clip.shape[0]
+    if attr.ndim == 2:
+        attr = attr[None]
+    if attr.shape[0] == 1 and B > 1:
+        attr = jnp.broadcast_to(attr, (B,) + attr.shape[1:])
+    C = attr.shape[-1]
+
+    ids = jax.lax.stop_gradient(
+        rasterize_ids(clip, faces, resolution, impl=impl, **kw)
+    )
+    F = faces.shape[0]
+    face_idx = jnp.where(ids > 0, ids - 1, F)
+    faces_ext = jnp.concatenate([faces, jnp.zeros((1, 3), jnp.int32)], axis=0)
+    pix_faces = faces_ext[face_idx]  # [B, H, W, 3]
+
+    table = jnp.concatenate([clip, attr], axis=-1)  # [B, V, 4+C]
+    tri = jax.vmap(lambda t, i: t[i])(table, pix_faces.reshape(B, -1))
+    tri = tri.reshape(ids.shape + (3, 4 + C))
+
+    x, y, z, wc, sx, sy, iw = [], [], [], [], [], [], []
+    for k in range(3):
+        xk, yk, zk, wk = (tri[..., k, 0], tri[..., k, 1],
+                          tri[..., k, 2], tri[..., k, 3])
+        iwk = 1.0 / jnp.where(jnp.abs(wk) > W_EPS, wk, W_EPS)
+        x.append(xk); y.append(yk); z.append(zk); wc.append(wk)
+        iw.append(iwk); sx.append(xk * iwk); sy.append(yk * iwk)
+    w_ok = (wc[0] > 0) & (wc[1] > 0) & (wc[2] > 0)
+    ctx = {
+        "ids": ids, "mask": ids > 0, "face_idx": face_idx,
+        "x": x, "y": y, "z": z, "w": wc, "iw": iw,
+        "sx": sx, "sy": sy, "w_ok": w_ok,
+    }
+    rast = barycentrics_from_context(ctx, resolution, clip.dtype)
+
+    u = rast[..., 0:1]
+    v = rast[..., 1:2]
+    w2 = 1.0 - u - v
+    feat = (u * tri[..., 0, 4:] + v * tri[..., 1, 4:] + w2 * tri[..., 2, 4:])
+    feat = jnp.where(ctx["mask"][..., None], feat, 0.0)
+
+    aa_w = None
+    if aa_topology is not None:
+        aa_w = antialias_weights(rast, clip, faces, aa_topology, context=ctx)
+    return rast, feat, aa_w
+
+
+# kept for antialias.py (SoA helpers over the shared context)
+def pixel_corner_indices(ids, faces):
+    """ids [B, H, W] -> (f0, f1, f2) corner vertex indices, each [B, H, W]."""
+    faces = jnp.asarray(faces, jnp.int32)
+    F = faces.shape[0]
+    face_idx = jnp.where(ids > 0, ids - 1, F)
+    faces_ext = jnp.concatenate([faces, jnp.zeros((1, 3), jnp.int32)], axis=0)
+    return tuple(faces_ext[:, k][face_idx] for k in range(3))
+
+
+def gather_component(table, corner_idx):
+    """table [B, V] (or [V]) gathered by corner_idx [B, H, W] -> [B, H, W]."""
+    if table.ndim == 1:
+        return table[corner_idx]
+    return jax.vmap(lambda t, i: t[i])(table, corner_idx)

@@ -51,3 +51,18 @@ def test_neural_training_learns():
     assert l1[-3:].mean() < l1[:3].mean()
     assert l2[-3:].mean() < l2[:3].mean() * 1.2  # phase 2 stays stable
     assert state.vertex_feat.shape == (verts.shape[0], 20)
+
+
+@pytest.mark.slow
+def test_neural_training_unet_path():
+    res = 48
+    m, verts, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res, 4)
+    rays = np.broadcast_to(
+        np.array([0, 0, 1], np.float32), (imgs.shape[0], res, res, 3)
+    )
+    albedo = np.full_like(verts, 0.5)
+    state, l1, l2, _ = train_neural_renderer(
+        imgs, masks, rays, w2cs, projs, verts, faces, albedo,
+        num_epochs=2, batch=2, net_type="unet",
+    )
+    assert np.isfinite(l1).all() and np.isfinite(l2).all()
