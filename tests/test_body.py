@@ -116,3 +116,26 @@ def test_model_npz_roundtrip(tmp_path):
     m2 = ManoModel.load_npz(str(p))
     np.testing.assert_allclose(m2.v_template, m.v_template)
     assert m2.parents == m.parents
+
+
+def test_repose_roundtrip_same_pose():
+    # repose with identical source/target params must reproduce the mesh
+    from fmhr_tpu.optim.repose_eval import repose_vertices
+    from fmhr_tpu.core.subdivision import subdivide_weights_loop
+
+    m = synthetic_hand_model()
+    v2, f2, w2 = subdivide_weights_loop(
+        m.lbs_weights, m.v_template, m.faces, iterations=1
+    )
+    rng = np.random.default_rng(5)
+    para = {
+        "type": "right",
+        "pose": rng.normal(size=(1, 48)).astype(np.float32) * 0.2,
+        "shape": rng.normal(size=(1, 10)).astype(np.float32) * 0.3,
+        "trans": np.array([[0.1, 0.2, 0.3]], np.float32),
+        "scale": 1.5,
+    }
+    out = repose_vertices(
+        v2, [para], [para], {"right": m}, {"right": {"weights": w2}}
+    )
+    np.testing.assert_allclose(out, v2, atol=1e-3)
