@@ -1,0 +1,150 @@
+"""CLI: the complete coarse-to-fine pipeline on a demo capture.
+
+Chains the reference's four stages (`README.md:63-80` of the reference)
+end-to-end through the filesystem handoffs:
+
+  1. triangulate 2D keypoints      (pose_optim)
+  2. fit hand models to keypoints  (mano_optim; synthetic stand-in models
+     are used when converted MANO .npz assets are not supplied)
+  3. HAM mesh+albedo+SH refinement (mesh_sfs)
+  4. neural renderer train + eval  (neural_render)
+
+    python -m fmhr_tpu.cli.demo_pipeline --data_path /root/reference/demo_data \
+        --scan_id 1 --res_scale 0.25 --fast --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from os.path import join
+
+from ._common import platform_arg, apply_platform
+
+
+def main(data_path: str, scan_id: int = 1, num: int = 16,
+         mano_left: str | None = None, mano_right: str | None = None,
+         res_scale: float = 0.25, fast: bool = True,
+         skip_nr: bool = False) -> dict:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..body.mano import ManoModel
+    from ..body.synthetic import synthetic_hand_model
+    from ..data import load_demo_views, load_demo_keypoints2d
+    from ..optim import triangulate_keypoints, fit_mano_two_hands
+    from ..optim.ham import HamConfig, run_ham
+    from ..core.subdivision import loop_subdivide_iter
+    from ..utils.artifacts import save_keypoints3d, save_mano_out, save_ham_out
+    from ..utils.obj_io import save_obj
+
+    out_path = data_path.rstrip("/").split("/")[-1].replace("data", "out")
+    for d in ("keypoints3d", "mano_out", f"demo_sfs/{scan_id}"):
+        os.makedirs(join(out_path, d), exist_ok=True)
+
+    W, H = int(1280 * res_scale), int(1024 * res_scale)
+    print(f"[pipeline] working resolution {W}x{H}")
+
+    # ---- stage 1: triangulation ------------------------------------------
+    views = load_demo_views(data_path, scan_id, num=num, res=(W, H))
+    poses2d, weights = load_demo_keypoints2d(data_path, scan_id, num=num)
+    k3d, tri_losses = triangulate_keypoints(
+        views.w2cs, views.projs, poses2d, weights,
+        epochs=200 if fast else 500,
+    )
+    save_keypoints3d(join(out_path, "keypoints3d",
+                          f"keypoints_3d_{scan_id}.xyz"), np.asarray(k3d))
+    print(f"[1/4] triangulation: {float(tri_losses[0]):.4f} -> "
+          f"{float(tri_losses[-1]):.4f}")
+
+    # ---- stage 2: hand-model fit -----------------------------------------
+    if mano_left and mano_right:
+        ml = ManoModel.load_npz(mano_left)
+        mr = ManoModel.load_npz(mano_right)
+    else:
+        print("[2/4] no MANO assets supplied -> synthetic stand-in models")
+        ml = synthetic_hand_model(is_rhand=False)
+        mr = synthetic_hand_model(is_rhand=True)
+    fit_l, fit_r, vl, vr, fit_losses = fit_mano_two_hands(
+        ml, mr, jnp.asarray(np.asarray(k3d))[None],
+        epochs=150 if fast else 250,
+    )
+    verts = np.concatenate([vl[0], vr[0]], 0)
+    faces = np.concatenate([ml.faces, mr.faces + vl.shape[1]], 0)
+    save_obj(join(out_path, "mano_out", f"{scan_id}.obj"), verts, faces)
+    save_mano_out(join(out_path, "mano_out", f"{scan_id}.npz"),
+                  [fit_l.as_mano_out(), fit_r.as_mano_out()])
+    print(f"[2/4] model fit: {float(fit_losses[0]):.4f} -> "
+          f"{float(fit_losses[-1]):.4f}")
+
+    # ---- stage 3: HAM -----------------------------------------------------
+    subdiv = 2 if fast else 3
+    vl_s, fl_s = loop_subdivide_iter(vl[0], ml.faces, subdiv)
+    vr_s, fr_s = loop_subdivide_iter(vr[0], mr.faces, subdiv)
+    ham_verts = np.concatenate([vl_s, vr_s], 0).astype(np.float32)
+    ham_faces = np.concatenate([fl_s, fr_s + vl_s.shape[0]], 0).astype(np.int32)
+
+    cfg = HamConfig(
+        width=W, height=H,
+        epoch_albedo=8 if fast else 150, epoch_sfs=15 if fast else 300,
+        sfs_weight=50.0, lap_weight=2000.0, albedo_weight=1.0,
+        mask_weight=1000.0, edge_weight=5e5, delta_weight=5e4,
+        batch=4 if fast else 8, lr=1e-4, albedo_lr=0.005, sh_lr=0.005,
+    )
+    out = run_ham(views.imgs, views.grayimgs, views.masks,
+                  views.w2cs, views.projs, ham_verts, ham_faces, cfg)
+    ham_dir = join(out_path, "demo_sfs", str(scan_id))
+    save_obj(join(ham_dir, f"{scan_id}.obj"),
+             np.asarray(out["vertices"]), ham_faces)
+    save_obj(join(ham_dir, f"ori_{scan_id}.obj"), ham_verts, ham_faces)
+    save_ham_out(join(ham_dir, f"{scan_id}.npz"),
+                 np.asarray(out["sh_coeffs"]), np.asarray(out["albedo"]))
+    la, lb = np.asarray(out["losses_albedo"]), np.asarray(out["losses_sfs"])
+    print(f"[3/4] HAM: stage A {la[0]:.4f} -> {la[-1]:.4f}; "
+          f"stage B {lb[0]:.4f} -> {lb[-1]:.4f}")
+
+    results = {
+        "triangulation": (float(tri_losses[0]), float(tri_losses[-1])),
+        "fit": (float(fit_losses[0]), float(fit_losses[-1])),
+        "ham_a": (float(la[0]), float(la[-1])),
+        "ham_b": (float(lb[0]), float(lb[-1])),
+    }
+
+    # ---- stage 4: neural renderer ----------------------------------------
+    if not skip_nr:
+        from ..optim.neural import train_neural_renderer
+        from ..utils.metrics import psnr, ssim
+
+        views_r = load_demo_views(data_path, scan_id, num=num, res=(W, H),
+                                  with_mask=False, return_ray=True)
+        imgs_rgb = views_r.imgs[..., ::-1]
+        state, l1, l2, _ = train_neural_renderer(
+            imgs_rgb, views_r.masks, views_r.rays, views_r.w2cs, views_r.projs,
+            np.asarray(out["vertices"]), ham_faces,
+            np.asarray(out["albedo"]),
+            num_epochs=4 if fast else 200, batch=2,
+            mlp_width=64 if fast else 256, mlp_depth=4 if fast else 8,
+        )
+        print(f"[4/4] neural renderer: phase1 {l1[0]:.4f} -> {l1[-1]:.4f}; "
+              f"phase2 {l2[0]:.4f} -> {l2[-1]:.4f}")
+        results["nr"] = (float(l1[0]), float(l1[-1]))
+
+    print("[pipeline] artifacts under", out_path)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_path", default="/root/reference/demo_data")
+    ap.add_argument("--scan_id", type=int, default=1)
+    ap.add_argument("--num", type=int, default=16)
+    ap.add_argument("--mano_left", default=None)
+    ap.add_argument("--mano_right", default=None)
+    ap.add_argument("--res_scale", type=float, default=0.25)
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--skip_nr", action="store_true")
+    platform_arg(ap)
+    args = ap.parse_args()
+    apply_platform(args)
+    main(args.data_path, args.scan_id, args.num, args.mano_left,
+         args.mano_right, args.res_scale, args.fast, args.skip_nr)

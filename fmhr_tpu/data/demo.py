@@ -56,14 +56,20 @@ def load_demo_views(
     cam = np.load(os.path.join(data_path, f"{scan_id}/camera/param.npz"))
 
     imgs, grays, masks, w2cs, projs, rays = [], [], [], [], [], []
+    calib = None  # calibration resolution = native image size
     for i in range(num):
+        img = cv2.imread(os.path.join(data_path, f"{scan_id}/img/{i:02d}.png"))
+        if calib is None:
+            # The NDC fixup must use the resolution K was calibrated at
+            # (the native image size); the working resolution `res` only
+            # sets the raster/image grid. NDC itself is res-independent.
+            calib = (img.shape[1], img.shape[0])
         P = (cam[f"world_mat_{i}"].astype(np.float32)
              @ cam[f"scale_mat_{i}"].astype(np.float32))[:3]
-        w2c_T, proj_T = camera_matrices_from_P(P, W, H)
+        w2c_T, proj_T = camera_matrices_from_P(P, calib[0], calib[1])
         w2cs.append(w2c_T)
         projs.append(proj_T)
 
-        img = cv2.imread(os.path.join(data_path, f"{scan_id}/img/{i:02d}.png"))
         mask = cv2.imread(os.path.join(data_path, f"{scan_id}/mask/{i:02d}.png"))[:, :, 0]
         mask = (mask > 127.5).astype(np.float32)
         if with_mask:
@@ -81,7 +87,11 @@ def load_demo_views(
 
         if return_ray:
             K = cam[f"int_{i}"]
-            dirs = get_ray_directions(H, W, K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+            # intrinsics scale with the working resolution
+            sx, sy = W / calib[0], H / calib[1]
+            dirs = get_ray_directions(
+                H, W, K[0, 0] * sx, K[1, 1] * sy, K[0, 2] * sx, K[1, 2] * sy
+            )
             c2w = np.linalg.inv(w2c_T.T)
             rd, _ = get_rays(dirs, c2w)
             rays.append(rd.reshape(H, W, 3).astype(np.float32))
