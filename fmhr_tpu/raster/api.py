@@ -27,9 +27,14 @@ from .visibility import rasterize_ids_naive, rasterize_ids_binned
 
 def default_capacity(num_faces: int) -> int:
     """Per-tile bin capacity heuristic: cover the whole mesh for small
-    meshes (no drops possible), cap the scan length for large ones (the
-    global oversized-triangle list keeps big faces correct regardless)."""
-    return int(min(max(128, num_faces), 512))
+    meshes (no drops possible), cap the scan length for large ones.
+
+    Dense scenes can exceed any fixed cap (measured ~950 faces in one
+    8x128 tile for a subdiv-2 hand at 512²); oversized-SPAN faces stay
+    correct via the global list, but crowded tiles drop excess faces —
+    size `capacity` to the scene when in doubt (counts are cheap to
+    audit via visibility._bin_one_view)."""
+    return int(min(max(128, num_faces), 1024))
 
 
 def rasterize_ids(clip, faces, resolution, impl="auto", **kw):

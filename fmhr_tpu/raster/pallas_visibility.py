@@ -37,9 +37,10 @@ def _make_kernel(n_chunks, chunk, tile_h, tile_w, tiles_x, height, width):
     inv_w2 = np.float32(2.0 / width)
     inv_h2 = np.float32(2.0 / height)
 
-    def kernel(tri_ref, ids_ref, out_ref, zbest_ref, ibest_ref):
-        # tri_ref: [1, 1, 1, chunk, 12] SMEM; ids_ref: [1, 1, 1, chunk, 1] SMEM
-        # out_ref: [1, 1, tile_h, tile_w] VMEM int32
+    def kernel(count_ref, tri_ref, ids_ref, out_ref, zbest_ref, ibest_ref):
+        # count_ref: [1, 1, 1, 1] SMEM active count for this (view, tile);
+        # tri_ref: [1, 1, 1, chunk, 12] SMEM; ids_ref: [1, 1, 1, chunk, 1]
+        # SMEM; out_ref: [1, 1, tile_h, tile_w] VMEM int32
         t = pl.program_id(1)
         c = pl.program_id(2)
 
@@ -48,6 +49,23 @@ def _make_kernel(n_chunks, chunk, tile_h, tile_w, tiles_x, height, width):
             zbest_ref[:] = jnp.full(zbest_ref.shape, _BIG, jnp.float32)
             ibest_ref[:] = jnp.zeros(ibest_ref.shape, jnp.int32)
 
+        active = c * chunk < count_ref[0, 0, 0, 0]
+
+        @pl.when(active)
+        def _():
+            _depth_test_chunk(tri_ref, ids_ref, zbest_ref, ibest_ref,
+                              t, chunk, tile_h, tile_w, tiles_x,
+                              inv_w2, inv_h2)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            out_ref[0, 0] = ibest_ref[:]
+
+    return kernel
+
+
+def _depth_test_chunk(tri_ref, ids_ref, zbest_ref, ibest_ref, t, chunk,
+                      tile_h, tile_w, tiles_x, inv_w2, inv_h2):
         ty = t // tiles_x
         tx = t % tiles_x
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -88,12 +106,6 @@ def _make_kernel(n_chunks, chunk, tile_h, tile_w, tiles_x, height, width):
             ibest = jnp.where(better, face_id, ibest)
         zbest_ref[:] = zbest
         ibest_ref[:] = ibest
-
-        @pl.when(c == n_chunks - 1)
-        def _():
-            out_ref[0, 0] = ibest_ref[:]
-
-    return kernel
 
 
 @functools.partial(
@@ -136,9 +148,12 @@ def rasterize_ids_pallas(
     )(tri)
 
     G = big.shape[1]
+    # Global (oversized) faces FIRST so the active entries form a prefix
+    # of length G + count_t; the kernel skips whole chunks past it.
     work = jnp.concatenate(
-        [bins, jnp.broadcast_to(big[:, None, :], (B, T, G))], axis=2
-    )  # [B, T, K+G] face indices, -1 = empty
+        [jnp.broadcast_to(big[:, None, :], (B, T, G)), bins], axis=2
+    )  # [B, T, G+K] face indices, -1 = empty
+    active_counts = (counts + G).astype(jnp.int32)  # [B, T]
     K_total = work.shape[2]
     n_chunks = math.ceil(K_total / chunk)
     pad = n_chunks * chunk - K_total
@@ -161,6 +176,10 @@ def rasterize_ids_pallas(
         grid=(B, T, n_chunks),
         in_specs=[
             pl.BlockSpec(
+                (1, 1, 1, 1), lambda b, t, c: (b, t, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
                 (1, 1, 1, chunk, 12), lambda b, t, c: (b, t, c, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
@@ -180,6 +199,7 @@ def rasterize_ids_pallas(
         ],
         interpret=interpret,
     )(
+        active_counts.reshape(B, T, 1, 1),
         binned_tri.reshape(B, T, n_chunks, chunk, 12),
         binned_ids.reshape(B, T, n_chunks, chunk, 1),
     )

@@ -4,6 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 
 from fmhr_tpu.raster import rasterize, interpolate, rasterize_ids, antialias, AATopology
 from fmhr_tpu.raster.visibility import rasterize_ids_naive, rasterize_ids_binned
@@ -237,3 +238,25 @@ def test_silhouette_fit_converges():
     final = float(loss)
     assert final < 0.2 * loss0, (loss0, final)
     assert np.abs(np.asarray(v) - target_v).max() < 0.08
+
+
+@pytest.mark.slow
+def test_default_capacity_covers_bench_scene():
+    # densest tiles of the benchmark scene must fit the default capacity
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.optim.ham import project_verts
+    from fmhr_tpu.raster.visibility import _bin_one_view
+    from fmhr_tpu.raster.api import default_capacity
+
+    verts, faces, w2cs, projs = hand_scene(res=512, n_views=4, subdiv=2)
+    clip = jnp.asarray(project_verts(
+        jnp.asarray(verts), jnp.asarray(w2cs), jnp.asarray(projs)))
+    tri = clip[:, jnp.asarray(faces)]
+    cap = default_capacity(faces.shape[0])
+    for b in range(4):
+        _, counts, _ = _bin_one_view(
+            tri[b], tile_h=8, tile_w=128, tiles_y=64, tiles_x=4,
+            height=512, width=512, max_span=16, capacity=8192,
+            global_capacity=64,
+        )
+        assert int(np.asarray(counts).max()) <= cap
