@@ -174,12 +174,17 @@ def _make_batcher(num: int, batch: int, epochs: int, seed: int):
 
 def run_ham(
     imgs, grayimgs, masks, w2cs, projs, vertices, faces, cfg: HamConfig,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 50,
 ):
     """Full HAM optimization. All image/camera args [N, ...] jnp/np arrays;
     vertices [V, 3] the x3-subdivided initial mesh; faces [F, 3].
 
-    Returns dict with optimized vertices/delta/albedo/sh_coeffs and the
-    loss traces of both stages.
+    With `checkpoint_dir`, stage B snapshots (params, opt state, step)
+    every `checkpoint_every` epochs via orbax and resumes from the latest
+    snapshot on restart (the reference loses the run on a crash,
+    SURVEY.md §5). Returns dict with optimized vertices/delta/albedo/
+    sh_coeffs and the loss traces of both stages.
     """
     imgs = jnp.asarray(imgs, jnp.float32)
     grayimgs = jnp.asarray(grayimgs, jnp.float32)
@@ -284,10 +289,7 @@ def run_ham(
     )
 
     @jax.jit
-    def run_stage_b(albedo0):
-        params = {"delta": jnp.zeros_like(vertices), "albedo": albedo0}
-        state = opt_b.init(params)
-
+    def run_stage_b_segment(params, state, batch_seg, step_seg):
         def step(carry, xs):
             p, s = carry
             idx, i = xs
@@ -300,11 +302,40 @@ def run_ham(
             upd, s = opt_b.update(g, s)
             return (optax.apply_updates(p, upd), s), loss
 
-        steps = jnp.arange(batches_b.shape[0])
-        (p, _), losses = jax.lax.scan(step, (params, state), (batches_b, steps))
-        return p["delta"], p["albedo"], losses
+        (p, s), losses = jax.lax.scan(step, (params, state), (batch_seg, step_seg))
+        return p, s, losses
 
-    delta, albedo, losses_b = run_stage_b(albedo)
+    params_b = {"delta": jnp.zeros_like(vertices), "albedo": albedo}
+    state_b = opt_b.init(params_b)
+    total_steps = batches_b.shape[0]
+    seg_len = max(1, checkpoint_every * steps_pe)
+    start_step = 0
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import latest_step, load_checkpoint
+
+        last = latest_step(checkpoint_dir)
+        if last is not None:
+            params_b, state_b = load_checkpoint(
+                checkpoint_dir, (params_b, state_b), last
+            )
+            start_step = last
+    losses_chunks = []
+    steps_all = jnp.arange(total_steps)
+    k = start_step
+    while k < total_steps:
+        end = min(total_steps, k + seg_len)
+        params_b, state_b, losses_seg = run_stage_b_segment(
+            params_b, state_b, batches_b[k:end], steps_all[k:end]
+        )
+        losses_chunks.append(losses_seg)
+        k = end
+        if checkpoint_dir is not None and k < total_steps:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, (params_b, state_b), k)
+    delta, albedo = params_b["delta"], params_b["albedo"]
+    losses_b = (jnp.concatenate(losses_chunks)
+                if losses_chunks else jnp.zeros((0,)))
 
     return {
         "vertices": vertices + delta,

@@ -46,7 +46,14 @@ def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
     h, w = resolution
     faces = jnp.asarray(faces, jnp.int32)
     if impl == "auto":
-        impl = "binned" if faces.shape[0] > 2048 or h * w > 128 * 128 else "naive"
+        if faces.shape[0] <= 2048 and h * w <= 128 * 128:
+            impl = "naive"
+        elif jax.default_backend() == "cpu":
+            impl = "binned"
+        else:
+            # TPU: the dynamic-loop Mosaic kernel is ~2x the fused scan at
+            # production capacities (and Mosaic doesn't target CPU).
+            impl = "pallas_v2"
     if impl == "naive":
         return rasterize_ids_naive(clip, faces, h, w)
     kw.setdefault("capacity", default_capacity(int(faces.shape[0])))
@@ -54,6 +61,11 @@ def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
         from .pallas_visibility import rasterize_ids_pallas
 
         return rasterize_ids_pallas(clip, faces, h, w, **kw)
+    if impl == "pallas_v2":
+        from .pallas_visibility2 import rasterize_ids_pallas_v2
+
+        kw.setdefault("chunk", 32)
+        return rasterize_ids_pallas_v2(clip, faces, h, w, **kw)
     return rasterize_ids_binned(clip, faces, h, w, **kw)
 
 

@@ -123,3 +123,30 @@ def test_ham_improves_geometry_and_appearance():
     err0 = np.abs(verts0 - verts_gt).mean()
     err1 = np.abs(np.asarray(out["vertices"]) - verts_gt).mean()
     assert err1 < err0 * 1.5
+
+
+@pytest.mark.slow
+def test_ham_checkpoint_resume(tmp_path):
+    res = 32
+    m, verts_gt, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res, 4)
+    cfg = HamConfig(
+        width=res, height=res, epoch_albedo=2, epoch_sfs=8,
+        sfs_weight=50.0, lap_weight=200.0, albedo_weight=1.0,
+        mask_weight=10.0, edge_weight=5e4, delta_weight=100.0,
+        batch=2, lr=5e-4, albedo_lr=0.01, sh_lr=0.005,
+    )
+    ckpt = str(tmp_path / "ham_ckpt")
+    out_plain = run_ham(imgs, gray, masks, w2cs, projs, verts_gt, faces, cfg)
+    out_ckpt = run_ham(imgs, gray, masks, w2cs, projs, verts_gt, faces, cfg,
+                       checkpoint_dir=ckpt, checkpoint_every=3)
+    # segmented + checkpointed run computes the identical trajectory
+    np.testing.assert_allclose(
+        np.asarray(out_plain["losses_sfs"]),
+        np.asarray(out_ckpt["losses_sfs"]), rtol=1e-5,
+    )
+    import os
+    assert any(d.startswith("step_") for d in os.listdir(ckpt))
+    # a restarted run resumes from the snapshot and completes
+    out_resumed = run_ham(imgs, gray, masks, w2cs, projs, verts_gt, faces, cfg,
+                          checkpoint_dir=ckpt, checkpoint_every=3)
+    assert np.isfinite(np.asarray(out_resumed["losses_sfs"])).all()

@@ -39,3 +39,18 @@ def test_pallas_random_soup(rng):
     )
     # depth ties between overlapping random faces may resolve differently
     assert (a != b).mean() < 5e-3
+
+
+def test_pallas_v2_matches_naive():
+    from fmhr_tpu.raster.pallas_visibility2 import rasterize_ids_pallas_v2
+
+    verts, faces, w2cs, projs = hand_scene(res=96, n_views=2)
+    clip = project_verts(jnp.asarray(verts), jnp.asarray(w2cs), jnp.asarray(projs))
+    a = np.asarray(rasterize_ids_naive(clip, faces, 96, 96))
+    b = np.asarray(
+        rasterize_ids_pallas_v2(
+            clip, faces, 96, 96, tile_h=8, tile_w=32, capacity=512,
+            chunk=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(a, b)
