@@ -44,6 +44,10 @@ def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
     impl: 'naive' | 'binned' | 'pallas' | 'auto'.
     """
     h, w = resolution
+    # Visibility is exactly non-differentiable (piecewise-constant ids);
+    # cutting the tangent at the INPUT keeps grad/jvp tracing out of the
+    # Mosaic kernel entirely (pallas_call has no JVP path).
+    clip = jax.lax.stop_gradient(clip)
     faces = jnp.asarray(faces, jnp.int32)
     if impl == "auto":
         if faces.shape[0] <= 2048 and h * w <= 128 * 128:
