@@ -139,3 +139,38 @@ def test_repose_roundtrip_same_pose():
         v2, [para], [para], {"right": m}, {"right": {"weights": w2}}
     )
     np.testing.assert_allclose(out, v2, atol=1e-3)
+
+
+def test_mano_pkl_converter(tmp_path):
+    # plain-ndarray + scipy-sparse pickle -> npz through the converter
+    import pickle
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    V, J = 20, 16
+    data = {
+        "v_template": rng.random((V, 3)),
+        "shapedirs": rng.random((V, 3, 10)),
+        "posedirs": rng.random((V, 3, (J - 1) * 9)),
+        "J_regressor": sp.csc_matrix(rng.random((J, V))),
+        "weights": rng.random((V, J)),
+        "kintree_table": np.stack([
+            np.concatenate([[4294967295], np.zeros(J - 1, np.int64)]),
+            np.arange(J),
+        ]),
+        "f": rng.integers(0, V, (30, 3)),
+        "hands_mean": rng.random(45),
+        "hands_components": rng.random((45, 45)),
+    }
+    src = tmp_path / "MANO_RIGHT.pkl"
+    with open(src, "wb") as f:
+        pickle.dump(data, f)
+
+    from fmhr_tpu.body.convert import convert
+    dst = tmp_path / "mano_right.npz"
+    convert(str(src), str(dst))
+    m = ManoModel.load_npz(str(dst))
+    assert m.v_template.shape == (V, 3)
+    assert m.posedirs.shape == ((J - 1) * 9, V * 3)
+    assert m.parents[0] == 0
+    assert m.is_rhand
