@@ -33,7 +33,10 @@ def interhand_camera(cam_param: dict, cam_idx: str, res: tuple[int, int]):
     """Build (w2c_T, proj_T) from InterHand camera annotations.
 
     Parity: `get_data.py:200-227`: campos (mm -> m), camrot as
-    world->camera, intrinsics from focal/princpt.
+    world->camera, intrinsics from focal/princpt. NOTE `res` must equal
+    the resolution the annotations were calibrated at (334x512 for the
+    '400' cameras) — same coupling as the reference; the NDC fixup uses
+    it directly.
     """
     W, H = res
     t = np.array(cam_param["campos"][cam_idx], np.float32).reshape(3)
@@ -197,3 +200,55 @@ def load_interhand_scan(
         rays=np.stack(rays) if return_ray else None,
         camera_names=camera_names, img_name=img_name,
     )
+
+
+def load_interhand_eval_views(
+    data_path: str,
+    scan_id: int,
+    res=(334, 512),
+    data_name: str = "0002_good_luck",
+    capture_name: str = "Capture0",
+    drop_cam=(),
+    split: str = "train",
+    return_ray: bool = True,
+):
+    """Evaluation-time views: images + cameras only (no masks/mesh).
+
+    Parity: `neural_render.py:515-586` (get_valinterhand_data). Returns
+    (imgs, w2cs, projs, rays, camera_names, img_name).
+    """
+    import cv2
+    import json as _json
+
+    capture_idx = capture_name.replace("Capture", "")
+    with open(join(data_path, f"annotations/{split}",
+                   f"InterHand2.6M_{split}_camera.json")) as f:
+        cam_param = _json.load(f)[capture_idx]
+
+    seq_dir = join(data_path, f"images/{split}", capture_name, data_name)
+    camera_names = [c for c in sorted(os.listdir(seq_dir))
+                    if c not in drop_cam and "400" in c]
+    img_name = sorted(os.listdir(join(seq_dir, camera_names[0])))[scan_id]
+
+    W, H = res
+    imgs, w2cs, projs, rays = [], [], [], []
+    for cam_name in camera_names:
+        cam_idx = cam_name.replace("cam", "")
+        w2c_T, proj_T = interhand_camera(cam_param, cam_idx, res)
+        w2cs.append(w2c_T)
+        projs.append(proj_T)
+        img = cv2.imread(join(seq_dir, cam_name, img_name))
+        imgs.append((cv2.resize(img, (W, H)) / 255.0).astype(np.float32))
+        if return_ray:
+            dirs = get_ray_directions(
+                H, W, cam_param["focal"][cam_idx][0],
+                cam_param["focal"][cam_idx][1],
+                cam_param["princpt"][cam_idx][0],
+                cam_param["princpt"][cam_idx][1],
+            )
+            c2w = np.linalg.inv(w2c_T.T)
+            rd, _ = get_rays(dirs, c2w)
+            rays.append(rd.reshape(H, W, 3).astype(np.float32))
+
+    return (np.stack(imgs), np.stack(w2cs), np.stack(projs),
+            np.stack(rays) if return_ray else None, camera_names, img_name)
