@@ -25,6 +25,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
 
 NOMINAL_BASELINE_MRAYS = 100.0
