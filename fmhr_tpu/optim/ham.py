@@ -65,6 +65,9 @@ class HamConfig:
     albedo_lr: float = 0.005
     sh_lr: float = 0.005
     seed: int = 0
+    # per-tile rasterizer bin capacity; None = default heuristic. Size via
+    # raster.visibility.audit_bin_counts for dense (subdiv-3) meshes.
+    raster_capacity: int | None = None
 
     @classmethod
     def from_config(cls, conf: Config) -> "HamConfig":
@@ -104,7 +107,7 @@ def _masked_l1(pred, target, valid):
 
 def sh_init(
     grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,
-    view_chunk: int = 4,
+    view_chunk: int = 4, raster_kw: dict | None = None,
 ):
     """Per-view + global SH least squares and albedo mean, on device.
 
@@ -113,6 +116,7 @@ def sh_init(
     N = w2cs.shape[0]
     res = (cfg.height, cfg.width)
     d2 = cfg.degree ** 2
+    raster_kw = raster_kw or {}
     normals = vertex_normals(vertices, faces)  # [V, 3] world space
 
     def one_chunk(w2c, proj, mask, gray, img):
@@ -120,7 +124,7 @@ def sh_init(
         rast, feat, aa_w = render_pixels(
             clip,
             jnp.concatenate([normals, jnp.ones_like(normals[:, :1])], -1),
-            faces, res, aa_topology=topo_aa,
+            faces, res, aa_topology=topo_aa, **raster_kw,
         )
         pred_mask = apply_antialias(feat[..., 3:4], aa_w)[..., 0]
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
@@ -203,8 +207,13 @@ def run_ham(
     edges = jnp.asarray(topo.edges)
     degrees = jnp.asarray(topo.degrees)
 
+    raster_kw = (
+        {"capacity": int(cfg.raster_capacity)}
+        if cfg.raster_capacity else {}
+    )
     sh_coeffs, albedo, valid_masks = sh_init(
-        grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg
+        grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,
+        raster_kw=raster_kw,
     )
 
     edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
@@ -216,7 +225,7 @@ def run_ham(
         normals = vertex_normals(vertices, faces)
         rast, feat, aa_w = render_pixels(
             clip, jnp.concatenate([normals, albedo_p], -1),
-            faces, res, aa_topology=topo_aa,
+            faces, res, aa_topology=topo_aa, **raster_kw,
         )
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
@@ -259,7 +268,7 @@ def run_ham(
         rast, feat, aa_w = render_pixels(
             clip,
             jnp.concatenate([normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
-            faces, res, aa_topology=topo_aa,
+            faces, res, aa_topology=topo_aa, **raster_kw,
         )
         pred_normals = safe_normalize(feat[..., :3])
         rast_albedo = feat[..., 3:6]

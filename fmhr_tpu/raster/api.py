@@ -68,7 +68,7 @@ def rasterize_ids(clip, faces, resolution, impl="auto", **kw):
     if impl == "pallas_v2":
         from .pallas_visibility2 import rasterize_ids_pallas_v2
 
-        kw.setdefault("chunk", 32)
+        kw.setdefault("chunk", 64)
         return rasterize_ids_pallas_v2(clip, faces, h, w, **kw)
     return rasterize_ids_binned(clip, faces, h, w, **kw)
 

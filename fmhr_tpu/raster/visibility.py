@@ -300,3 +300,28 @@ def _gather_tri_batched(tri_ext, face_ids):
     """tri_ext [B, F+1, 3, 4]; face_ids [B, ...] -> [B, ..., 3, 4]."""
     idx = jnp.where(face_ids >= 0, face_ids, tri_ext.shape[1] - 1)
     return jax.vmap(lambda t, i: t[i])(tri_ext, idx)
+
+
+def audit_bin_counts(clip, faces, height, width, tile_h=8, tile_w=128,
+                     max_span=16, global_capacity=64):
+    """Host-side capacity audit: max/99p per-tile face counts per view.
+
+    Run once per scene setup to size `capacity` (silent drops otherwise —
+    see api.default_capacity). Returns [B] max counts.
+    """
+    import math as _math
+    import numpy as _np
+
+    faces = jnp.asarray(faces, jnp.int32)
+    tiles_y = _math.ceil(height / tile_h)
+    tiles_x = _math.ceil(width / tile_w)
+    tri = clip[:, faces]
+    maxes = []
+    for b in range(clip.shape[0]):
+        _, counts, _ = _bin_one_view(
+            tri[b], tile_h=tile_h, tile_w=tile_w, tiles_y=tiles_y,
+            tiles_x=tiles_x, height=height, width=width, max_span=max_span,
+            capacity=faces.shape[0], global_capacity=global_capacity,
+        )
+        maxes.append(int(_np.asarray(counts).max()))
+    return maxes

@@ -50,7 +50,7 @@ def test_pallas_v2_matches_naive():
     b = np.asarray(
         rasterize_ids_pallas_v2(
             clip, faces, 96, 96, tile_h=8, tile_w=32, capacity=512,
-            chunk=8, interpret=True,
+            chunk=64, interpret=True,
         )
     )
     np.testing.assert_array_equal(a, b)
