@@ -260,3 +260,32 @@ def test_default_capacity_covers_bench_scene():
             global_capacity=64,
         )
         assert int(np.asarray(counts).max()) <= cap
+
+
+def test_render_pixels_matches_separate_path():
+    # the fused single-gather path must equal rasterize+interpolate+AA
+    from fmhr_tpu.raster import render_pixels, antialias_weights
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.optim.ham import project_verts
+
+    verts, faces, w2cs, projs = hand_scene(res=64, n_views=2)
+    clip = project_verts(jnp.asarray(verts), jnp.asarray(w2cs), jnp.asarray(projs))
+    attr = jnp.concatenate(
+        [jnp.asarray(verts), jnp.ones((verts.shape[0], 1))], -1
+    )
+    topo = AATopology.build(faces, verts.shape[0])
+
+    rast_f, feat_f, aa_f = render_pixels(clip, attr, faces, (64, 64),
+                                         aa_topology=topo)
+    rast_s = rasterize(clip, faces, (64, 64))
+    feat_s = interpolate(attr, rast_s, faces)
+    aa_s = antialias_weights(rast_s, clip, faces, topo)
+
+    np.testing.assert_allclose(np.asarray(rast_f), np.asarray(rast_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat_f), np.asarray(feat_s),
+                               rtol=1e-5, atol=1e-6)
+    for k in ("h", "v"):
+        for a, b in zip(aa_f[k], aa_s[k]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
