@@ -1,0 +1,65 @@
+"""CLI smoke tests (subprocess, real demo data when available)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import reference_available
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m"] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="demo data not mounted")
+def test_pose_optim_cli(tmp_path):
+    r = _run(
+        ["fmhr_tpu.cli.pose_optim", "--data_path", "/root/reference/demo_data",
+         "--scan_id", "1", "--epochs", "150", "--platform", "cpu"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "demo_out/keypoints3d/keypoints_3d_1.xyz"
+    assert out.exists()
+    k = np.loadtxt(out)
+    assert k.shape == (42, 3)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="demo data not mounted")
+def test_fit_demo_cli(tmp_path):
+    r = _run(
+        ["fmhr_tpu.cli.fit_demo", "--data_path", "/root/reference/demo_data",
+         "--steps", "20", "--res", "96", "--platform", "cpu"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fit OK" in r.stdout
+
+
+def test_bench_cli(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--preset",
+         "tiny", "--platform", "cpu"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=420,
+        env={**os.environ,
+             "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+             "FMHR_BENCH_ATTEMPTS": "1"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["unit"] == "Mrays/s" and out["value"] > 0
