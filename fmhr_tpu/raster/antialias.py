@@ -165,7 +165,9 @@ def antialias_weights(rast, clip, faces, topology: AATopology | None = None,
     w_ok = ctx["w_ok"]
     face_idx = ctx["face_idx"]
 
-    if topology is not None:
+    if context is not None and context.get("eids") is not None:
+        eids = context["eids"]  # per-pixel edge ids (deferred path)
+    elif topology is not None:
         fe = jnp.concatenate(
             [jnp.asarray(topology.face_edge_ids), jnp.full((1, 3), -1, jnp.int32)]
         )

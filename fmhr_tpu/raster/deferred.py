@@ -1,0 +1,593 @@
+"""Deferred-shading rasterization: the winning triangle's FULL record per
+pixel from one Pallas pass, with a matmul-reduction custom_vjp backward.
+
+Why: the reference's hot loop (`/root/reference/mesh_sfs_optim.py:246-318`)
+is rasterize -> interpolate -> antialias fwd+bwd over all pixels. The
+round-1 TPU port paid ~10 ms per [B, H, W]-indexed XLA gather forward and
+an XLA scatter-add transpose backward. This module removes both:
+
+- Forward: a Pallas kernel streams each tile's binned triangle records
+  (12 clip coords, face id, 3 AA edge ids, 3xC attributes) from HBM with
+  double-buffered DMA, depth-tests them against the tile's pixels, and
+  keeps the WINNER's whole record in VMEM registers. Its outputs are the
+  per-pixel record components -- the downstream barycentric/interpolation/
+  antialias math is plain fused elementwise XLA with no gathers at all.
+- Backward: gradients w.r.t. the per-pixel components reduce to
+  per-record sums over the pixels each record won. Per tile that is a
+  one-hot matmul on the MXU (g_rec[k,:] = onehot(slot==k) @ g_pix),
+  written to disjoint aligned HBM rows; records then reduce to faces by
+  a small segment-sum and faces to vertices/attributes by a STATIC
+  vertex->(face, corner) incidence gather. No scatter-adds anywhere on
+  the pixel-sized path.
+
+Semantics match raster/api.py (nvdiffrast conventions: ids 1-based, 0 =
+background, `rast = (u, v, z/w, id)`), verified against the naive oracle
+in tests/test_deferred.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .geometry import W_EPS, AREA_EPS
+from .visibility import _face_tile_ranges
+
+TILE_H = 8
+TILE_W = 128
+_PIX = TILE_H * TILE_W
+_BIG = np.float32(3.0e38)
+_BWD_CHUNK = 128  # backward one-hot matmul rows; ALIGN must be a multiple
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class DeferredTopology:
+    """Host-side static topology for the deferred renderer.
+
+    vert_incidence[v] lists the (face*3 + corner) slots that reference
+    vertex v (sentinel 3*F for padding) -- the backward face->vertex
+    reduction is a dense gather over this table instead of a scatter.
+    """
+
+    faces: np.ndarray          # [F, 3] int32
+    face_edge_ids: np.ndarray  # [F, 3] int32 (k=0:(v0,v1), 1:(v1,v2), 2:(v2,v0))
+    vert_incidence: np.ndarray  # [V, D] int32, sentinel = 3*F
+    num_vertices: int
+
+    @classmethod
+    def build(cls, faces, num_vertices: int) -> "DeferredTopology":
+        faces = np.asarray(faces, np.int32)
+        F = faces.shape[0]
+        V = int(num_vertices)
+        # edge ids (same construction as antialias.AATopology)
+        e01 = np.sort(faces[:, [0, 1]], 1)
+        e12 = np.sort(faces[:, [1, 2]], 1)
+        e20 = np.sort(faces[:, [2, 0]], 1)
+        all_e = np.concatenate([e01, e12, e20], 0).astype(np.int64)
+        h = all_e[:, 0] * V + all_e[:, 1]
+        _, inv = np.unique(h, return_inverse=True)
+        eids = inv.reshape(3, F).T.astype(np.int32)
+        # vertex -> (face, corner) incidence
+        flat = faces.reshape(-1)  # value = vertex id, index = face*3+corner
+        order = np.argsort(flat, kind="stable").astype(np.int32)
+        sorted_v = flat[order]
+        counts = np.bincount(flat, minlength=V)
+        D = max(1, int(counts.max()) if F else 1)
+        inc = np.full((V, D), 3 * F, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for_rows = np.repeat(np.arange(V), counts)
+        col = np.arange(len(flat)) - starts[sorted_v]
+        inc[for_rows, col] = order
+        return cls(faces=faces, face_edge_ids=eids, vert_incidence=inc,
+                   num_vertices=V)
+
+
+def _plan(F, V, C, H, W, capacity, max_span, global_cap):
+    """Static layout plan shared by fwd/bwd."""
+    tiles_y = math.ceil(H / TILE_H)
+    tiles_x = math.ceil(W / TILE_W)
+    T = tiles_y * tiles_x
+    r_used = 16 + 3 * C       # 12 coords, id, 3 eids, 3xC attrs
+    rec = max(32, _round_up(r_used, 32))
+    chunk0 = 1024 // math.gcd(rec, 1024)   # lane alignment of flat DMA
+    chunk = _round_up(16, chunk0)
+    align = _round_up(_BWD_CHUNK, chunk)
+    g_pad = _round_up(global_cap, chunk)
+    na = F * max_span + T * align          # upper bound on aligned rows
+    na = _round_up(na, align)
+    rows = na + g_pad
+    rg = _round_up(r_used, 8)
+    return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
+                rec=rec, chunk=chunk, align=align, g_pad=g_pad, na=na,
+                rows=rows, rg=rg, Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
+
+
+# --------------------------------------------------------------------------
+# Per-view record build (pure XLA, non-differentiable structure)
+# --------------------------------------------------------------------------
+
+def _build_view(tri, attr_f, eids_f, p, *, H, W, capacity, max_span,
+                global_cap):
+    """tri [F, 3, 4], attr_f [F, 3C] for ONE view -> aligned record array.
+
+    Returns (records [rows, rec] f32, face_of_row [rows] int32 (F = dead),
+    counts [T], aligned_starts [T], g_count scalar).
+    """
+    F = tri.shape[0]
+    T = p["T"]
+    S = max_span
+    tx0, ty0, span_x, span_y, valid = _face_tile_ranges(
+        tri, TILE_H, TILE_W, p["tiles_y"], p["tiles_x"], H, W)
+    n_tiles = span_x * span_y
+    small = valid & (n_tiles <= S)
+    big = valid & (n_tiles > S)
+
+    slots = jnp.arange(S, dtype=jnp.int32)
+    dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
+    dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
+    live = small[:, None] & (slots[None, :] < n_tiles[:, None])
+    tile = (ty0[:, None] + dy) * p["tiles_x"] + (tx0[:, None] + dx)
+    tile = jnp.where(live, tile, T)
+    face = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None], tile.shape)
+    keys, vals = jax.lax.sort_key_val(
+        tile.reshape(-1), face.reshape(-1), is_stable=True)
+
+    t_ar = jnp.arange(T, dtype=jnp.int32)
+    starts = jnp.searchsorted(keys, t_ar, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(keys, t_ar, side="right").astype(jnp.int32)
+    counts = jnp.minimum(ends - starts, capacity).astype(jnp.int32)
+
+    padded = ((counts + p["align"] - 1) // p["align"]) * p["align"]
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+
+    j = jnp.arange(p["na"], dtype=jnp.int32)
+    t_of = (jnp.searchsorted(aligned_starts, j, side="right") - 1).astype(jnp.int32)
+    t_of = jnp.clip(t_of, 0, T - 1)
+    k_of = j - aligned_starts[t_of]
+    row_live = k_of < counts[t_of]
+    src = jnp.minimum(starts[t_of] + k_of, keys.shape[0] - 1)
+    face_of = jnp.where(row_live, vals[src], F)
+
+    # global (oversized) faces
+    g_idx = jnp.nonzero(big, size=global_cap, fill_value=-1)[0].astype(jnp.int32)
+    g_count = jnp.sum((g_idx >= 0).astype(jnp.int32))
+    g_face = jnp.where(g_idx >= 0, g_idx, F)
+    g_face = jnp.pad(g_face, (0, p["g_pad"] - global_cap), constant_values=F)
+
+    face_of_row = jnp.concatenate([face_of, g_face])
+
+    # face record table [F+1, rec]; sentinel row: id 0, w = -1 (never covers)
+    ids_col = jnp.arange(1, F + 1, dtype=jnp.float32)[:, None]
+    cols = jnp.concatenate(
+        [tri.reshape(F, 12), ids_col, eids_f, attr_f], axis=1)
+    pad = p["rec"] - cols.shape[1]
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad)))
+    sent = jnp.zeros((1, p["rec"]), cols.dtype)
+    sent = sent.at[0, 3].set(-1.0).at[0, 7].set(-1.0).at[0, 11].set(-1.0)
+    table = jnp.concatenate([cols, sent], axis=0)
+
+    records = table[face_of_row]
+    return records, face_of_row, counts, aligned_starts, g_count
+
+
+# --------------------------------------------------------------------------
+# Forward kernel
+# --------------------------------------------------------------------------
+
+def _make_fwd_kernel(p, H, W):
+    chunk, rec, na = p["chunk"], p["rec"], p["na"]
+    rows, r_used = p["rows"], p["r_used"]
+    tiles_x = p["tiles_x"]
+    inv_w2 = np.float32(2.0 / W)
+    inv_h2 = np.float32(2.0 / H)
+
+    def kernel(meta_ref, rec_hbm, outf_ref, slot_ref):
+        # meta_ref [1,1,4] SMEM: aligned_start, count, g_count
+        # rec_hbm flat [B*rows*rec] f32 (ANY/HBM)
+        # outf_ref [1,1,r_used,th,tw] VMEM; slot_ref [1,1,th,tw] VMEM int32
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        ty = t // tiles_x
+        tx = t % tiles_x
+        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        pxb = (col + tx * TILE_W).astype(jnp.float32) * inv_w2 + (
+            0.5 * inv_w2 - 1.0)
+        pyb = (row + ty * TILE_H).astype(jnp.float32) * inv_h2 + (
+            0.5 * inv_h2 - 1.0)
+
+        start = meta_ref[0, 0, 0, 0]
+        count = meta_ref[0, 0, 0, 1]
+        gcnt = meta_ref[0, 0, 0, 2]
+        n_main = (count + (chunk - 1)) // chunk
+        n_glob = (gcnt + (chunk - 1)) // chunk
+        n_total = n_main + n_glob
+        base = b * rows
+
+        def row0_of(ci):
+            return jnp.where(ci < n_main, start + ci * chunk,
+                             na + (ci - n_main) * chunk)
+
+        def body(tri_buf, sems):
+            def dma(slot_i, ci):
+                # starts are ALIGN-aligned and chunk*rec % 1024 == 0, but
+                # Mosaic cannot prove it across the SMEM load: assert it.
+                off = pl.multiple_of((base + row0_of(ci)) * rec, 1024)
+                return pltpu.make_async_copy(
+                    rec_hbm.at[pl.ds(off, chunk * rec)],
+                    tri_buf.at[pl.ds(slot_i * (chunk * rec), chunk * rec)],
+                    sems.at[slot_i],
+                )
+
+            @pl.when(n_total > 0)
+            def _():
+                dma(0, 0).start()
+
+            def loop(ci, carry):
+                zbest, slotbest, cols = carry
+                sl = jax.lax.rem(ci, 2)
+                nsl = jax.lax.rem(ci + 1, 2)
+
+                @pl.when(ci + 1 < n_total)
+                def _():
+                    dma(nsl, ci + 1).start()
+
+                dma(sl, ci).wait()
+                rowbase = row0_of(ci)
+                tri_c = tri_buf[pl.ds(sl * (chunk * rec), chunk * rec)]
+                for k in range(chunk):
+                    o = k * rec
+                    face_id = tri_c[o + 12]
+                    x0, y0, z0, w0 = (tri_c[o + 0], tri_c[o + 1],
+                                      tri_c[o + 2], tri_c[o + 3])
+                    x1, y1, z1, w1 = (tri_c[o + 4], tri_c[o + 5],
+                                      tri_c[o + 6], tri_c[o + 7])
+                    x2, y2, z2, w2 = (tri_c[o + 8], tri_c[o + 9],
+                                      tri_c[o + 10], tri_c[o + 11])
+                    iw0 = 1.0 / jnp.where(jnp.abs(w0) > W_EPS, w0, W_EPS)
+                    iw1 = 1.0 / jnp.where(jnp.abs(w1) > W_EPS, w1, W_EPS)
+                    iw2 = 1.0 / jnp.where(jnp.abs(w2) > W_EPS, w2, W_EPS)
+                    sx0, sy0 = x0 * iw0, y0 * iw0
+                    sx1, sy1 = x1 * iw1, y1 * iw1
+                    sx2, sy2 = x2 * iw2, y2 * iw2
+                    d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
+                    l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
+                    l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
+                    l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
+                    sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
+                    ok = ((face_id > 0.0)
+                          & (jnp.abs(d) > AREA_EPS)
+                          & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS))
+                    cov = ((sgn * l0 >= 0.0) & (sgn * l1 >= 0.0)
+                           & (sgn * l2 >= 0.0) & ok)
+                    inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
+                    zw = (l0 * (z0 * iw0) + l1 * (z1 * iw1)
+                          + l2 * (z2 * iw2)) * inv_d
+                    zw = jnp.where(cov, zw, _BIG)
+                    better = zw < zbest
+                    zbest = jnp.where(better, zw, zbest)
+                    slotbest = jnp.where(better, rowbase + k, slotbest)
+                    cols = [jnp.where(better, tri_c[o + i], c)
+                            for i, c in enumerate(cols)]
+                return zbest, slotbest, cols
+
+            init = (
+                jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
+                jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+                [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(r_used)],
+            )
+            zbest, slotbest, cols = jax.lax.fori_loop(0, n_total, loop, init)
+            covered = slotbest >= 0
+            slot_ref[0, 0] = jnp.where(covered, slotbest, -1)
+            for i in range(r_used):
+                outf_ref[0, 0, i] = jnp.where(covered, cols[i], 0.0)
+
+        pl.run_scoped(
+            body,
+            tri_buf=pltpu.VMEM((2 * chunk * rec,), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# Backward kernel
+# --------------------------------------------------------------------------
+
+def _make_bwd_kernel(p):
+    rg, na, g_pad, rows = p["rg"], p["na"], p["g_pad"], p["rows"]
+    KB = _BWD_CHUNK
+
+    def kernel(meta_ref, slot_ref, g_ref, gpairs_hbm, gglob_ref, stage, sems):
+        # meta [1,1,4] SMEM; slot_ref [1,1,1,P] int32; g_ref [1,1,rg,P] f32
+        # gpairs_hbm [B, rg, rows] ANY; gglob_ref [1,1,rg,g_pad] VMEM out
+        # stage: VMEM scratch (2, rg, KB) for DMA staging
+        b = pl.program_id(0)
+        start = meta_ref[0, 0, 0, 0]
+        count = meta_ref[0, 0, 0, 1]
+        n_iter = (count + KB - 1) // KB
+        slot_row = slot_ref[0, 0]          # [1, P] int32
+        g_mat = g_ref[0, 0]                # [rg, P] f32
+
+        def loop(ci, _):
+            sl = jax.lax.rem(ci, 2)
+            k0 = pl.multiple_of(start + ci * KB, KB)
+            k_iota = k0 + jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0)
+            onehot = (slot_row == k_iota).astype(jnp.float32)  # [KB, P]
+            gc = jax.lax.dot_general(
+                g_mat, onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rg, KB]
+            # wait for the DMA that used this staging slot two iters ago
+            @pl.when(ci >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stage.at[sl],
+                    gpairs_hbm.at[b, :, pl.ds(
+                        pl.multiple_of(start + (ci - 2) * KB, KB), KB)],
+                    sems.at[sl]).wait()
+            stage[sl] = gc
+            pltpu.make_async_copy(
+                stage.at[sl], gpairs_hbm.at[b, :, pl.ds(k0, KB)],
+                sems.at[sl]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_iter, loop, 0)
+
+        # drain outstanding stores (the last two loop iterations')
+        for i in range(2):
+            ci = n_iter - 2 + i
+
+            @pl.when(ci >= 0)
+            def _(ci=ci):
+                sl = jax.lax.rem(ci, 2)
+                pltpu.make_async_copy(
+                    stage.at[sl],
+                    gpairs_hbm.at[b, :, pl.ds(
+                        pl.multiple_of(start + ci * KB, KB), KB)],
+                    sems.at[sl]).wait()
+
+        # global faces: partial reduction, summed over tiles in XLA
+        kg = na + jax.lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
+        onehot_g = (slot_row == kg).astype(jnp.float32)  # [g_pad, P]
+        gglob_ref[0, 0] = jax.lax.dot_general(
+            g_mat, onehot_g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# custom_vjp core
+# --------------------------------------------------------------------------
+
+_CORE_CACHE: dict = {}
+
+
+def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
+                      capacity: int, max_span: int = 8,
+                      global_cap: int = 64, interpret: bool = False):
+    """Cached custom_vjp'd core for one (topology, config).
+
+    Returned fn: (clip [B, V, 4], attr [B, V, C]) ->
+      (comp [r_used, B, H, W] f32, ids [B, H, W] int32).
+    comp rows: 0:12 corner clip coords (x0 y0 z0 w0 x1 ... w2),
+    12 face id (float), 13:16 AA edge ids (float), 16: 3xC corner attrs
+    (corner-major: a0[C], a1[C], a2[C]).
+    """
+    key = (id(topo), C, H, W, capacity, max_span, global_cap, interpret)
+    if key in _CORE_CACHE:
+        return _CORE_CACHE[key]
+
+    F = int(topo.faces.shape[0])
+    V = topo.num_vertices
+    p = _plan(F, V, C, H, W, capacity, max_span, global_cap)
+    faces_j = jnp.asarray(topo.faces)
+    eids_f = jnp.asarray(topo.face_edge_ids, jnp.float32)
+    inc_j = jnp.asarray(topo.vert_incidence)
+    tiles_y, tiles_x, T = p["tiles_y"], p["tiles_x"], p["T"]
+    r_used, rows, na, rg = p["r_used"], p["rows"], p["na"], p["rg"]
+    Hp, Wp = p["Hp"], p["Wp"]
+
+    def _fwd_impl(clip, attr):
+        B = clip.shape[0]
+        tri = clip[:, faces_j]                       # [B, F, 3, 4]
+        attr_f = attr[:, faces_j].reshape(B, F, 3 * C)
+        records, face_of_row, counts, astarts, g_count = jax.vmap(
+            lambda t, a: _build_view(
+                t, a, eids_f, p, H=H, W=W, capacity=capacity,
+                max_span=max_span, global_cap=global_cap)
+        )(tri, attr_f)
+
+        meta = jnp.stack(
+            [jnp.broadcast_to(astarts[:, :], (B, T)),
+             jnp.broadcast_to(counts, (B, T)),
+             jnp.broadcast_to(g_count[:, None], (B, T)),
+             jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
+        meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
+
+        flat = records.reshape(-1)
+        kernel = _make_fwd_kernel(p, H, W)
+        outf, slot = pl.pallas_call(
+            kernel,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, r_used, TILE_H, TILE_W),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TILE_H, TILE_W),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, r_used, TILE_H, TILE_W),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((B, T, TILE_H, TILE_W), jnp.int32),
+            ],
+            interpret=interpret,
+        )(meta, flat)
+
+        # [B, T, r, th, tw] -> [r, B, H, W]
+        comp = outf.reshape(B, tiles_y, tiles_x, r_used, TILE_H, TILE_W)
+        comp = comp.transpose(3, 0, 1, 4, 2, 5).reshape(r_used, B, Hp, Wp)
+        comp = comp[:, :, :H, :W]
+        ids = jnp.round(comp[12]).astype(jnp.int32)
+        return comp, ids, slot, face_of_row, meta
+
+    def core(clip, attr):
+        comp, ids, _, _, _ = _fwd_impl(clip, attr)
+        return comp, ids
+
+    def core_fwd(clip, attr):
+        comp, ids, slot, face_of_row, meta = _fwd_impl(clip, attr)
+        return (comp, ids), (slot, face_of_row, meta, clip.shape[0])
+
+    def core_bwd(res, cts):
+        g_comp, _ = cts
+        slot, face_of_row, meta, B = res
+
+        # [r, B, H, W] -> [B, T, rg, P]
+        g = jnp.pad(g_comp, ((0, rg - r_used), (0, 0), (0, Hp - H),
+                             (0, Wp - W)))
+        g = g.reshape(rg, B, tiles_y, TILE_H, tiles_x, TILE_W)
+        g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rg, _PIX)
+        slot_x = slot.reshape(B, T, 1, _PIX)
+
+        kernel = _make_bwd_kernel(p)
+        gpairs, gglob = pl.pallas_call(
+            kernel,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, _PIX), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rg, _PIX), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, rg, p["g_pad"]),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, rg, rows), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, rg, p["g_pad"]), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, rg, _BWD_CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(meta, slot_x, g)
+
+        g_rows = gpairs.transpose(0, 2, 1)            # [B, rows, rg]
+        g_glob = gglob.sum(axis=1).transpose(0, 2, 1)  # [B, g_pad, rg]
+        g_rows = jax.lax.dynamic_update_slice(
+            g_rows, g_glob, (0, na, 0))
+
+        g_face = jax.vmap(
+            lambda d, i: jax.ops.segment_sum(d, i, num_segments=F + 1)
+        )(g_rows[..., :r_used], face_of_row)[:, :F]    # [B, F, r_used]
+
+        # coords -> vertices via static incidence gather
+        g_coords = g_face[:, :, :12].reshape(B, F * 3, 4)
+        g_coords = jnp.concatenate(
+            [g_coords, jnp.zeros((B, 1, 4), g_coords.dtype)], axis=1)
+        g_clip = g_coords[:, inc_j].sum(axis=2)        # [B, V, 4]
+
+        g_attr_f = g_face[:, :, 16:16 + 3 * C].reshape(B, F * 3, C)
+        g_attr_f = jnp.concatenate(
+            [g_attr_f, jnp.zeros((B, 1, C), g_attr_f.dtype)], axis=1)
+        g_attr = g_attr_f[:, inc_j].sum(axis=2)        # [B, V, C]
+        return g_clip, g_attr
+
+    core_vjp = jax.custom_vjp(core)
+    core_vjp.defvjp(core_fwd, core_bwd)
+    _CORE_CACHE[key] = core_vjp
+    return core_vjp
+
+
+# --------------------------------------------------------------------------
+# High-level render path (mirrors api.render_pixels)
+# --------------------------------------------------------------------------
+
+def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
+                           *, capacity, max_span: int = 8,
+                           global_cap: int = 64, with_aa: bool = True,
+                           interpret: bool = False):
+    """Deferred-path drop-in for api.render_pixels.
+
+    clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
+    (rast [B, H, W, 4], feat [B, H, W, C], aa_weights|None).
+    """
+    from .api import barycentrics_from_context
+    from .antialias import antialias_weights
+
+    H, W = resolution
+    B = clip.shape[0]
+    if attr.ndim == 2:
+        attr = jnp.broadcast_to(attr[None], (B,) + attr.shape)
+    C = attr.shape[-1]
+
+    core = get_deferred_core(topo, C, H, W, capacity=capacity,
+                             max_span=max_span, global_cap=global_cap,
+                             interpret=interpret)
+    comp, ids = core(clip, attr)
+
+    x = [comp[0], comp[4], comp[8]]
+    y = [comp[1], comp[5], comp[9]]
+    z = [comp[2], comp[6], comp[10]]
+    w = [comp[3], comp[7], comp[11]]
+    iw = [1.0 / jnp.where(jnp.abs(wk) > W_EPS, wk, W_EPS) for wk in w]
+    sx = [xk * iwk for xk, iwk in zip(x, iw)]
+    sy = [yk * iwk for yk, iwk in zip(y, iw)]
+    w_ok = (w[0] > 0) & (w[1] > 0) & (w[2] > 0)
+    eids = tuple(jnp.round(comp[13 + k]).astype(jnp.int32) for k in range(3))
+    ctx = {
+        "ids": ids, "mask": ids > 0, "face_idx": None,
+        "x": x, "y": y, "z": z, "w": w, "iw": iw,
+        "sx": sx, "sy": sy, "w_ok": w_ok, "eids": eids,
+    }
+    rast = barycentrics_from_context(ctx, resolution, clip.dtype)
+
+    u = rast[..., 0:1]
+    v = rast[..., 1:2]
+    w2 = 1.0 - u - v
+    a0 = jnp.moveaxis(comp[16:16 + C], 0, -1)
+    a1 = jnp.moveaxis(comp[16 + C:16 + 2 * C], 0, -1)
+    a2 = jnp.moveaxis(comp[16 + 2 * C:16 + 3 * C], 0, -1)
+    feat = u * a0 + v * a1 + w2 * a2
+    feat = jnp.where(ctx["mask"][..., None], feat, 0.0)
+
+    aa_w = None
+    if with_aa:
+        aa_w = antialias_weights(rast, clip, topo.faces, topology=None,
+                                 context=ctx)
+    return rast, feat, aa_w

@@ -212,7 +212,7 @@ def rasterize_ids_pallas_v2(
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, tile_h, tile_w), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -302,26 +302,47 @@ def _gather_tri_batched(tri_ext, face_ids):
     return jax.vmap(lambda t, i: t[i])(tri_ext, idx)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "max_span",
+                     "global_capacity"),
+)
+def _audit_bin_counts_jit(clip, faces, height, width, tile_h, tile_w,
+                          max_span, global_capacity):
+    tiles_y = math.ceil(height / tile_h)
+    tiles_x = math.ceil(width / tile_w)
+    tri = clip[:, faces]
+    S = max_span
+    F = faces.shape[0]
+    T = tiles_y * tiles_x
+
+    def one(t):
+        tx0, ty0, span_x, span_y, valid = _face_tile_ranges(
+            t, tile_h, tile_w, tiles_y, tiles_x, height, width)
+        n_tiles = span_x * span_y
+        small = valid & (n_tiles <= S)
+        slots = jnp.arange(S, dtype=jnp.int32)
+        dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
+        dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
+        live = small[:, None] & (slots[None, :] < n_tiles[:, None])
+        tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+        tile = jnp.where(live, tile, T)
+        counts = jnp.zeros((T + 1,), jnp.int32).at[tile.reshape(-1)].add(1)
+        return counts[:T].max()
+
+    return jax.vmap(one)(tri)
+
+
 def audit_bin_counts(clip, faces, height, width, tile_h=8, tile_w=128,
                      max_span=16, global_capacity=64):
-    """Host-side capacity audit: max/99p per-tile face counts per view.
+    """Capacity audit: per-view max per-tile face count (jitted).
 
     Run once per scene setup to size `capacity` (silent drops otherwise —
     see api.default_capacity). Returns [B] max counts.
     """
-    import math as _math
     import numpy as _np
 
     faces = jnp.asarray(faces, jnp.int32)
-    tiles_y = _math.ceil(height / tile_h)
-    tiles_x = _math.ceil(width / tile_w)
-    tri = clip[:, faces]
-    maxes = []
-    for b in range(clip.shape[0]):
-        _, counts, _ = _bin_one_view(
-            tri[b], tile_h=tile_h, tile_w=tile_w, tiles_y=tiles_y,
-            tiles_x=tiles_x, height=height, width=width, max_span=max_span,
-            capacity=faces.shape[0], global_capacity=global_capacity,
-        )
-        maxes.append(int(_np.asarray(counts).max()))
-    return maxes
+    out = _audit_bin_counts_jit(clip, faces, height, width, tile_h, tile_w,
+                                max_span, global_capacity)
+    return [int(x) for x in _np.asarray(out)]

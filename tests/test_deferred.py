@@ -1,0 +1,179 @@
+"""Deferred-shading Pallas path vs the XLA render path (interpret mode).
+
+Oracle: raster.api.render_pixels (itself validated against the naive
+rasterizer and finite differences in test_raster.py). The deferred op
+must match its outputs AND its gradients — the custom_vjp backward is a
+completely different computation (one-hot matmuls + segment sums vs XLA
+autodiff scatter-adds), so allclose here certifies the whole machinery.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fmhr_tpu.raster import render_pixels, apply_antialias, AATopology
+from fmhr_tpu.raster.deferred import (
+    DeferredTopology, render_pixels_deferred,
+)
+
+
+def sphere_scene(n_views=2, res=(32, 256), n_sub=1, seed=0):
+    """A faceted sphere viewed from n_views angles; returns clip, faces,
+    attrs. Spans multiple 8x128 tiles; some faces cross tile borders."""
+    import math
+
+    # icosphere-ish: latitude-longitude sphere (static topology)
+    n_lat, n_lon = 6 * (n_sub + 1), 8 * (n_sub + 1)
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = math.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * math.pi * j / n_lon
+            verts.append([
+                math.sin(th) * math.cos(ph),
+                math.sin(th) * math.sin(ph),
+                math.cos(th),
+            ])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    verts = np.asarray(verts, np.float32) * 0.6
+    faces = np.asarray(faces, np.int32)
+
+    rng = np.random.default_rng(seed)
+    clips = []
+    for v in range(n_views):
+        ang = 2 * math.pi * v / max(n_views, 1) + 0.3
+        R = np.asarray(
+            [[math.cos(ang), 0, math.sin(ang)],
+             [0, 1, 0],
+             [-math.sin(ang), 0, math.cos(ang)]], np.float32)
+        vv = verts @ R.T
+        depth = vv[:, 2] + 2.5  # in front of camera
+        clip = np.stack(
+            [vv[:, 0] * depth * 0.9, vv[:, 1] * depth * 0.9,
+             np.full(len(verts), -0.1, np.float32), depth], 1)
+        clips.append(clip)
+    clip = jnp.asarray(np.stack(clips), jnp.float32)
+    attr = jnp.asarray(rng.standard_normal((len(verts), 5)), jnp.float32)
+    return clip, faces, attr
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return sphere_scene()
+
+
+def _xla_path(clip, attr, faces, res, topo_aa):
+    rast, feat, aa_w = render_pixels(
+        clip, attr, jnp.asarray(faces), res,
+        impl="naive", aa_topology=topo_aa)
+    return rast, feat, aa_w
+
+
+def _deferred_path(clip, attr, faces, res, topo):
+    return render_pixels_deferred(
+        clip, attr, topo, res, capacity=256, max_span=8,
+        interpret=True)
+
+
+def test_deferred_forward_matches_xla(scene):
+    clip, faces, attr = scene
+    res = (32, 256)
+    topo = DeferredTopology.build(faces, attr.shape[0])
+    topo_aa = AATopology.build(faces, attr.shape[0])
+
+    rast_x, feat_x, aa_x = _xla_path(clip, attr, faces, res, topo_aa)
+    rast_d, feat_d, aa_d = _deferred_path(clip, attr, faces, res, topo)
+
+    np.testing.assert_array_equal(
+        np.asarray(rast_x[..., 3]), np.asarray(rast_d[..., 3]))
+    np.testing.assert_allclose(
+        np.asarray(rast_x), np.asarray(rast_d), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(feat_x), np.asarray(feat_d), atol=1e-5, rtol=1e-5)
+    out_x = apply_antialias(feat_x, aa_x)
+    out_d = apply_antialias(feat_d, aa_d)
+    np.testing.assert_allclose(
+        np.asarray(out_x), np.asarray(out_d), atol=1e-5, rtol=1e-5)
+
+
+def test_deferred_gradients_match_xla(scene):
+    clip, faces, attr = scene
+    res = (32, 256)
+    topo = DeferredTopology.build(faces, attr.shape[0])
+    topo_aa = AATopology.build(faces, attr.shape[0])
+    rng = np.random.default_rng(1)
+    gimg = jnp.asarray(
+        rng.standard_normal((clip.shape[0],) + res + (attr.shape[-1],)),
+        jnp.float32)
+
+    def loss_x(clip, attr):
+        rast, feat, aa_w = _xla_path(clip, attr, faces, res, topo_aa)
+        out = apply_antialias(feat, aa_w)
+        return jnp.sum(out * gimg) + jnp.sum(rast[..., :3] ** 2) * 0.1
+
+    def loss_d(clip, attr):
+        rast, feat, aa_w = _deferred_path(clip, attr, faces, res, topo)
+        out = apply_antialias(feat, aa_w)
+        return jnp.sum(out * gimg) + jnp.sum(rast[..., :3] ** 2) * 0.1
+
+    lx, (gx_clip, gx_attr) = jax.value_and_grad(loss_x, argnums=(0, 1))(
+        clip, attr)
+    ld, (gd_clip, gd_attr) = jax.value_and_grad(loss_d, argnums=(0, 1))(
+        clip, attr)
+
+    np.testing.assert_allclose(float(lx), float(ld), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gx_clip), np.asarray(gd_clip), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gx_attr), np.asarray(gd_attr), atol=2e-4, rtol=1e-3)
+
+
+def test_deferred_batched_attr(scene):
+    clip, faces, attr = scene
+    res = (32, 256)
+    topo = DeferredTopology.build(faces, attr.shape[0])
+    B = clip.shape[0]
+    rng = np.random.default_rng(2)
+    attr_b = jnp.asarray(
+        rng.standard_normal((B, attr.shape[0], 3)), jnp.float32)
+    topo_aa = AATopology.build(faces, attr.shape[0])
+    _, feat_x, _ = _xla_path(clip, attr_b, faces, res, topo_aa)
+    _, feat_d, _ = _deferred_path(clip, attr_b, faces, res, topo)
+    np.testing.assert_allclose(
+        np.asarray(feat_x), np.asarray(feat_d), atol=1e-5, rtol=1e-5)
+
+
+def test_deferred_capacity_and_globals():
+    # big triangles exceed max_span -> global list path
+    clip, faces, attr = sphere_scene(n_views=1, res=(32, 256))
+    big = np.asarray(
+        [[-2.0, -2.0], [2.0, -2.0], [0.0, 2.0]], np.float32)
+    depth = 4.0
+    big_clip = np.stack(
+        [big[:, 0] * depth, big[:, 1] * depth,
+         np.full(3, -0.1, np.float32), np.full(3, depth, np.float32)], 1)
+    nv = attr.shape[0]
+    clip = jnp.concatenate(
+        [clip, jnp.asarray(big_clip[None])], axis=1)
+    faces2 = np.concatenate(
+        [np.asarray(faces), np.asarray([[nv, nv + 1, nv + 2]], np.int32)])
+    attr2 = jnp.concatenate(
+        [attr, jnp.ones((3, attr.shape[1]), jnp.float32)], axis=0)
+    res = (32, 256)
+    topo = DeferredTopology.build(faces2, nv + 3)
+    topo_aa = AATopology.build(faces2, nv + 3)
+    rast_x, feat_x, _ = _xla_path(clip, attr2, faces2, res, topo_aa)
+    rast_d, feat_d, _ = render_pixels_deferred(
+        clip, attr2, topo, res, capacity=256, max_span=2, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(rast_x[..., 3]), np.asarray(rast_d[..., 3]))
+    np.testing.assert_allclose(
+        np.asarray(feat_x), np.asarray(feat_d), atol=1e-5, rtol=1e-5)
