@@ -99,9 +99,11 @@ def _plan(F, V, C, H, W, capacity, max_span, global_cap):
     tiles_x = math.ceil(W / TILE_W)
     T = tiles_y * tiles_x
     r_used = 16 + 3 * C       # 12 coords, id, 3 eids, 3xC attrs
-    rec = max(32, _round_up(r_used, 32))
-    chunk0 = 1024 // math.gcd(rec, 1024)   # lane alignment of flat DMA
-    chunk = _round_up(16, chunk0)
+    # Records are stored chunk-transposed [n_chunks, rec, 128] so every
+    # DMA is a perfectly tiled [rec, 128] block and record components
+    # broadcast as [1, K] rows inside the kernel.
+    rec = _round_up(r_used, 8)
+    chunk = 128               # records per kernel chunk (lane dim)
     align = _round_up(_BWD_CHUNK, chunk)
     g_pad = _round_up(global_cap, chunk)
     na = F * max_span + T * align          # upper bound on aligned rows
@@ -189,47 +191,54 @@ def _build_view(tri, attr_f, eids_f, p, *, H, W, capacity, max_span,
 # --------------------------------------------------------------------------
 
 def _make_fwd_kernel(p, H, W):
+    """[pixels, records] = [1024, 128] block-vectorized visibility.
+
+    Records arrive chunk-transposed ([rec, 128] VMEM blocks): each record
+    component is a [1, K] lane row broadcast against [P, 1] pixel columns,
+    so the coverage/depth math runs on full-width VPU tiles with no scalar
+    loads. The winner's record columns are extracted per chunk by a
+    one-hot matmul on the MXU instead of per-record selects.
+    """
     chunk, rec, na = p["chunk"], p["rec"], p["na"]
-    rows, r_used = p["rows"], p["r_used"]
+    rows = p["rows"]
     tiles_x = p["tiles_x"]
     inv_w2 = np.float32(2.0 / W)
     inv_h2 = np.float32(2.0 / H)
+    K = chunk
 
     def kernel(meta_ref, rec_hbm, outf_ref, slot_ref):
-        # meta_ref [1,1,4] SMEM: aligned_start, count, g_count
-        # rec_hbm flat [B*rows*rec] f32 (ANY/HBM)
-        # outf_ref [1,1,r_used,th,tw] VMEM; slot_ref [1,1,th,tw] VMEM int32
+        # meta_ref [1,1,1,4] SMEM: aligned_start, count, g_count
+        # rec_hbm [B*rows/128, rec, 128] f32 (ANY/HBM, chunk-transposed)
+        # outf_ref [1,1,P,rec] VMEM; slot_ref [1,1,P,1] VMEM int32
         b = pl.program_id(0)
         t = pl.program_id(1)
         ty = t // tiles_x
         tx = t % tiles_x
-        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 1), 0)
+        col = jax.lax.rem(pidx, TILE_W)
+        row = pidx // TILE_W
         pxb = (col + tx * TILE_W).astype(jnp.float32) * inv_w2 + (
-            0.5 * inv_w2 - 1.0)
+            0.5 * inv_w2 - 1.0)                     # [P, 1]
         pyb = (row + ty * TILE_H).astype(jnp.float32) * inv_h2 + (
-            0.5 * inv_h2 - 1.0)
+            0.5 * inv_h2 - 1.0)                     # [P, 1]
 
         start = meta_ref[0, 0, 0, 0]
         count = meta_ref[0, 0, 0, 1]
         gcnt = meta_ref[0, 0, 0, 2]
-        n_main = (count + (chunk - 1)) // chunk
-        n_glob = (gcnt + (chunk - 1)) // chunk
+        n_main = (count + (K - 1)) // K
+        n_glob = (gcnt + (K - 1)) // K
         n_total = n_main + n_glob
-        base = b * rows
+        base = b * (rows // K)
 
-        def row0_of(ci):
-            return jnp.where(ci < n_main, start + ci * chunk,
-                             na + (ci - n_main) * chunk)
+        def chunk_of(ci):
+            return base + jnp.where(ci < n_main, start // K + ci,
+                                    na // K + (ci - n_main))
 
         def body(tri_buf, sems):
             def dma(slot_i, ci):
-                # starts are ALIGN-aligned and chunk*rec % 1024 == 0, but
-                # Mosaic cannot prove it across the SMEM load: assert it.
-                off = pl.multiple_of((base + row0_of(ci)) * rec, 1024)
                 return pltpu.make_async_copy(
-                    rec_hbm.at[pl.ds(off, chunk * rec)],
-                    tri_buf.at[pl.ds(slot_i * (chunk * rec), chunk * rec)],
+                    rec_hbm.at[chunk_of(ci)],
+                    tri_buf.at[slot_i],
                     sems.at[slot_i],
                 )
 
@@ -238,7 +247,7 @@ def _make_fwd_kernel(p, H, W):
                 dma(0, 0).start()
 
             def loop(ci, carry):
-                zbest, slotbest, cols = carry
+                zbest, slotbest, comp = carry
                 sl = jax.lax.rem(ci, 2)
                 nsl = jax.lax.rem(ci + 1, 2)
 
@@ -247,59 +256,70 @@ def _make_fwd_kernel(p, H, W):
                     dma(nsl, ci + 1).start()
 
                 dma(sl, ci).wait()
-                rowbase = row0_of(ci)
-                tri_c = tri_buf[pl.ds(sl * (chunk * rec), chunk * rec)]
-                for k in range(chunk):
-                    o = k * rec
-                    face_id = tri_c[o + 12]
-                    x0, y0, z0, w0 = (tri_c[o + 0], tri_c[o + 1],
-                                      tri_c[o + 2], tri_c[o + 3])
-                    x1, y1, z1, w1 = (tri_c[o + 4], tri_c[o + 5],
-                                      tri_c[o + 6], tri_c[o + 7])
-                    x2, y2, z2, w2 = (tri_c[o + 8], tri_c[o + 9],
-                                      tri_c[o + 10], tri_c[o + 11])
-                    iw0 = 1.0 / jnp.where(jnp.abs(w0) > W_EPS, w0, W_EPS)
-                    iw1 = 1.0 / jnp.where(jnp.abs(w1) > W_EPS, w1, W_EPS)
-                    iw2 = 1.0 / jnp.where(jnp.abs(w2) > W_EPS, w2, W_EPS)
-                    sx0, sy0 = x0 * iw0, y0 * iw0
-                    sx1, sy1 = x1 * iw1, y1 * iw1
-                    sx2, sy2 = x2 * iw2, y2 * iw2
-                    d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
-                    l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
-                    l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
-                    l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
-                    sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
-                    ok = ((face_id > 0.0)
-                          & (jnp.abs(d) > AREA_EPS)
-                          & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS))
-                    cov = ((sgn * l0 >= 0.0) & (sgn * l1 >= 0.0)
-                           & (sgn * l2 >= 0.0) & ok)
-                    inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
-                    zw = (l0 * (z0 * iw0) + l1 * (z1 * iw1)
-                          + l2 * (z2 * iw2)) * inv_d
-                    zw = jnp.where(cov, zw, _BIG)
-                    better = zw < zbest
-                    zbest = jnp.where(better, zw, zbest)
-                    slotbest = jnp.where(better, rowbase + k, slotbest)
-                    cols = [jnp.where(better, tri_c[o + i], c)
-                            for i, c in enumerate(cols)]
-                return zbest, slotbest, cols
+                tri_c = tri_buf[sl]                  # [rec, K]
+                r = lambda i: tri_c[i:i + 1, :]      # [1, K]
+                face_id = r(12)
+                x0, y0, z0, w0 = r(0), r(1), r(2), r(3)
+                x1, y1, z1, w1 = r(4), r(5), r(6), r(7)
+                x2, y2, z2, w2 = r(8), r(9), r(10), r(11)
+                iw0 = 1.0 / jnp.where(jnp.abs(w0) > W_EPS, w0, W_EPS)
+                iw1 = 1.0 / jnp.where(jnp.abs(w1) > W_EPS, w1, W_EPS)
+                iw2 = 1.0 / jnp.where(jnp.abs(w2) > W_EPS, w2, W_EPS)
+                sx0, sy0 = x0 * iw0, y0 * iw0
+                sx1, sy1 = x1 * iw1, y1 * iw1
+                sx2, sy2 = x2 * iw2, y2 * iw2
+                d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
+                sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
+                inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
+                ok = ((face_id > 0.0)
+                      & (jnp.abs(d) > AREA_EPS)
+                      & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS))
+                zf = z0 * iw0, z1 * iw1, z2 * iw2    # [1, K] each
+
+                # [P, K] pixel x record math
+                l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
+                l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
+                l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
+                cov = ((sgn * l0 >= 0.0) & (sgn * l1 >= 0.0)
+                       & (sgn * l2 >= 0.0) & ok)
+                zw = (l0 * zf[0] + l1 * zf[1] + l2 * zf[2]) * inv_d
+                zw = jnp.where(cov, zw, _BIG)
+
+                # lane argmin (first minimum = lowest face id in the bin)
+                zmin = jnp.min(zw, axis=1, keepdims=True)        # [P, 1]
+                k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+                kmin = jnp.min(
+                    jnp.where(zw <= zmin, k_iota, K), axis=1,
+                    keepdims=True)                                # [P, 1]
+
+                better = zmin < zbest
+                zbest = jnp.where(better, zmin, zbest)
+                slot0 = (chunk_of(ci) - base) * K
+                slotbest = jnp.where(better, slot0 + kmin, slotbest)
+
+                # extract winner columns for pixels won by THIS chunk
+                onehot = (kmin == k_iota).astype(jnp.float32)     # [P, K]
+                new_comp = jax.lax.dot_general(
+                    onehot, tri_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                 # [P, rec]
+                comp = jnp.where(better, new_comp, comp)
+                return zbest, slotbest, comp
 
             init = (
-                jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
-                jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-                [jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                 for _ in range(r_used)],
+                jnp.full((_PIX, 1), _BIG, jnp.float32),
+                jnp.full((_PIX, 1), -1, jnp.int32),
+                jnp.zeros((_PIX, rec), jnp.float32),
             )
-            zbest, slotbest, cols = jax.lax.fori_loop(0, n_total, loop, init)
+            zbest, slotbest, comp = jax.lax.fori_loop(0, n_total, loop, init)
             covered = slotbest >= 0
             slot_ref[0, 0] = jnp.where(covered, slotbest, -1)
-            for i in range(r_used):
-                outf_ref[0, 0, i] = jnp.where(covered, cols[i], 0.0)
+            outf_ref[0, 0] = jnp.where(covered, comp, 0.0)
 
         pl.run_scoped(
             body,
-            tri_buf=pltpu.VMEM((2 * chunk * rec,), jnp.float32),
+            tri_buf=pltpu.VMEM((2, rec, K), jnp.float32),
             sems=pltpu.SemaphoreType.DMA((2,)),
         )
 
@@ -315,24 +335,24 @@ def _make_bwd_kernel(p):
     KB = _BWD_CHUNK
 
     def kernel(meta_ref, slot_ref, g_ref, gpairs_hbm, gglob_ref, stage, sems):
-        # meta [1,1,4] SMEM; slot_ref [1,1,1,P] int32; g_ref [1,1,rg,P] f32
+        # meta [1,1,1,4] SMEM; slot_ref [1,1,P,1] int32; g_ref [1,1,rg,P] f32
         # gpairs_hbm [B, rg, rows] ANY; gglob_ref [1,1,rg,g_pad] VMEM out
         # stage: VMEM scratch (2, rg, KB) for DMA staging
         b = pl.program_id(0)
         start = meta_ref[0, 0, 0, 0]
         count = meta_ref[0, 0, 0, 1]
         n_iter = (count + KB - 1) // KB
-        slot_row = slot_ref[0, 0]          # [1, P] int32
+        slot_col = slot_ref[0, 0]          # [P, 1] int32
         g_mat = g_ref[0, 0]                # [rg, P] f32
 
         def loop(ci, _):
             sl = jax.lax.rem(ci, 2)
             k0 = pl.multiple_of(start + ci * KB, KB)
-            k_iota = k0 + jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0)
-            onehot = (slot_row == k_iota).astype(jnp.float32)  # [KB, P]
+            k_iota = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+            onehot = (slot_col == k_iota).astype(jnp.float32)  # [P, KB]
             gc = jax.lax.dot_general(
                 g_mat, onehot,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [rg, KB]
             # wait for the DMA that used this staging slot two iters ago
@@ -365,11 +385,11 @@ def _make_bwd_kernel(p):
                     sems.at[sl]).wait()
 
         # global faces: partial reduction, summed over tiles in XLA
-        kg = na + jax.lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
-        onehot_g = (slot_row == kg).astype(jnp.float32)  # [g_pad, P]
+        kg = na + jax.lax.broadcasted_iota(jnp.int32, (1, g_pad), 1)
+        onehot_g = (slot_col == kg).astype(jnp.float32)  # [P, g_pad]
         gglob_ref[0, 0] = jax.lax.dot_general(
             g_mat, onehot_g,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -401,15 +421,20 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     F = int(topo.faces.shape[0])
     V = topo.num_vertices
     p = _plan(F, V, C, H, W, capacity, max_span, global_cap)
-    faces_j = jnp.asarray(topo.faces)
-    eids_f = jnp.asarray(topo.face_edge_ids, jnp.float32)
-    inc_j = jnp.asarray(topo.vert_incidence)
+    # Keep topology as NUMPY in the closure: the core is cached across jit
+    # traces, and jnp constants created inside one trace would leak into
+    # the next (UnexpectedTracerError).
+    faces_np = topo.faces
+    eids_np = np.asarray(topo.face_edge_ids, np.float32)
+    inc_np = topo.vert_incidence
     tiles_y, tiles_x, T = p["tiles_y"], p["tiles_x"], p["T"]
     r_used, rows, na, rg = p["r_used"], p["rows"], p["na"], p["rg"]
     Hp, Wp = p["Hp"], p["Wp"]
 
     def _fwd_impl(clip, attr):
         B = clip.shape[0]
+        faces_j = jnp.asarray(faces_np)
+        eids_f = jnp.asarray(eids_np)
         tri = clip[:, faces_j]                       # [B, F, 3, 4]
         attr_f = attr[:, faces_j].reshape(B, F, 3 * C)
         records, face_of_row, counts, astarts, g_count = jax.vmap(
@@ -425,7 +450,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
              jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
         meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
 
-        flat = records.reshape(-1)
+        # chunk-transposed record stream: [B*rows/K, rec, K]
+        K = p["chunk"]
+        rec_t = records.reshape(B * (rows // K), K, p["rec"]).transpose(
+            0, 2, 1)
         kernel = _make_fwd_kernel(p, H, W)
         outf, slot = pl.pallas_call(
             kernel,
@@ -436,27 +464,27 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, r_used, TILE_H, TILE_W),
-                             lambda b, t: (b, t, 0, 0, 0),
+                pl.BlockSpec((1, 1, _PIX, p["rec"]),
+                             lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, TILE_H, TILE_W),
+                pl.BlockSpec((1, 1, _PIX, 1),
                              lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, T, r_used, TILE_H, TILE_W),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((B, T, TILE_H, TILE_W), jnp.int32),
+                jax.ShapeDtypeStruct((B, T, _PIX, p["rec"]), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(meta, flat)
+        )(meta, rec_t)
 
-        # [B, T, r, th, tw] -> [r, B, H, W]
-        comp = outf.reshape(B, tiles_y, tiles_x, r_used, TILE_H, TILE_W)
-        comp = comp.transpose(3, 0, 1, 4, 2, 5).reshape(r_used, B, Hp, Wp)
+        # [B, T, P, rec] -> [r_used, B, H, W]
+        comp = outf[..., :r_used].reshape(
+            B, tiles_y, tiles_x, TILE_H, TILE_W, r_used)
+        comp = comp.transpose(5, 0, 1, 3, 2, 4).reshape(r_used, B, Hp, Wp)
         comp = comp[:, :, :H, :W]
         ids = jnp.round(comp[12]).astype(jnp.int32)
-        return comp, ids, slot, face_of_row, meta
+        return comp, ids, slot[..., 0], face_of_row, meta
 
     def core(clip, attr):
         comp, ids, _, _, _ = _fwd_impl(clip, attr)
@@ -475,7 +503,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              (0, Wp - W)))
         g = g.reshape(rg, B, tiles_y, TILE_H, tiles_x, TILE_W)
         g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rg, _PIX)
-        slot_x = slot.reshape(B, T, 1, _PIX)
+        slot_x = slot.reshape(B, T, _PIX, 1)
 
         kernel = _make_bwd_kernel(p)
         gpairs, gglob = pl.pallas_call(
@@ -484,7 +512,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, _PIX), lambda b, t: (b, t, 0, 0),
+                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, rg, _PIX), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -517,6 +545,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         )(g_rows[..., :r_used], face_of_row)[:, :F]    # [B, F, r_used]
 
         # coords -> vertices via static incidence gather
+        inc_j = jnp.asarray(inc_np)
         g_coords = g_face[:, :, :12].reshape(B, F * 3, 4)
         g_coords = jnp.concatenate(
             [g_coords, jnp.zeros((B, 1, 4), g_coords.dtype)], axis=1)
