@@ -32,16 +32,20 @@ import numpy as np
 NOMINAL_BASELINE_MRAYS = 100.0
 
 PRESETS = {
-    # name: (res, n_views, subdiv, iters)
-    "full": (512, 4, 2, 10),
-    "small": (256, 4, 1, 10),
-    "tiny": (64, 2, 0, 3),
+    # name: (res (H, W), n_views, subdiv, two_hands, iters)
+    # prod = the reference's InterHand HAM workload geometry: 334x512,
+    # two x3-subdivided hands (~99.6k faces), 16-view batch
+    # (`/root/reference/conf/ih_sfs.conf`, `train_mlp.py:151-154`).
+    "prod": ((334, 512), 16, 3, True, 10),
+    "full": ((512, 512), 4, 2, False, 10),
+    "small": ((256, 256), 4, 1, False, 10),
+    "tiny": ((64, 64), 2, 0, False, 3),
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="full", choices=sorted(PRESETS))
+    ap.add_argument("--preset", default="prod", choices=sorted(PRESETS))
     ap.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
     args = ap.parse_args()
 
@@ -72,8 +76,9 @@ def main() -> None:
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
     from fmhr_tpu.raster import (render_pixels, apply_antialias, AATopology)
 
-    res, n_views, subdiv, iters = PRESETS[args.preset]
-    verts, faces, w2cs, projs = hand_scene(res=res, n_views=n_views, subdiv=subdiv)
+    (H, W), n_views, subdiv, two_hands, iters = PRESETS[args.preset]
+    verts, faces, w2cs, projs = hand_scene(
+        res=(H, W), n_views=n_views, subdiv=subdiv, two_hands=two_hands)
     V = verts.shape[0]
     topo = MeshTopology.build(faces, V)
     topo_aa = AATopology.build(faces, V)
@@ -81,9 +86,9 @@ def main() -> None:
     degrees = jnp.asarray(topo.degrees)
 
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.random((n_views, res, res, 3)), jnp.float32)
+    imgs = jnp.asarray(rng.random((n_views, H, W, 3)), jnp.float32)
     masks = jnp.asarray(
-        (rng.random((n_views, res, res)) > 0.3).astype(np.float32)
+        (rng.random((n_views, H, W)) > 0.3).astype(np.float32)
     )
     sh = jnp.asarray(
         np.tile(np.array([0.8, 0.1, 0.2, -0.1, 0, 0, 0.05, 0, 0], np.float32),
@@ -96,6 +101,11 @@ def main() -> None:
 
     opt = optax.adam(1e-4)
 
+    # auto-size the deferred record budget once at setup (static after)
+    from fmhr_tpu.raster.deferred import audit_deferred_rows
+    _, rows_budget = audit_deferred_rows(
+        project_verts(verts0, w2cs, projs), faces_j, (H, W))
+
     def loss_fn(params):
         v = verts0 + params["delta"]
         clip = project_verts(v, w2cs, projs)
@@ -103,7 +113,7 @@ def main() -> None:
         rast, feat, aa_w = render_pixels(
             clip,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
-            faces_j, (res, res), aa_topology=topo_aa,
+            faces_j, (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
         )
         nrm = safe_normalize(feat[..., :3])
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
@@ -146,7 +156,7 @@ def main() -> None:
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
 
-    rays = n_views * res * res
+    rays = n_views * H * W
     mrays = rays / dt / 1e6
     steps_per_s = 1.0 / dt
 
@@ -157,7 +167,7 @@ def main() -> None:
         "vs_baseline": round(mrays / NOMINAL_BASELINE_MRAYS, 4),
         "extra": {
             "preset": args.preset,
-            "res": res,
+            "res": [H, W],
             "views": n_views,
             "faces": int(faces.shape[0]),
             "verts": int(V),

@@ -78,6 +78,16 @@ class ManoModel:
     def hand_type(self) -> str:
         return "right" if self.is_rhand else "left"
 
+    def save_npz(self, path: str) -> None:
+        np.savez(
+            path, v_template=self.v_template, shapedirs=self.shapedirs,
+            posedirs=self.posedirs, J_regressor=self.J_regressor,
+            lbs_weights=self.lbs_weights,
+            parents=np.asarray(self.parents, np.int32), faces=self.faces,
+            hand_mean=self.hand_mean, hand_components=self.hand_components,
+            is_rhand=self.is_rhand,
+        )
+
     @classmethod
     def load_npz(cls, path: str) -> "ManoModel":
         d = np.load(path)

@@ -5,14 +5,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def ring_cameras(n: int, radius: float = 3.0, res: int = 64):
+def ring_cameras(n: int, radius: float = 3.0, res=64):
     """n cameras on a ring looking at the origin.
 
-    Returns (w2cs [n,4,4], projs [n,4,4]) TRANSPOSED, in the reference
-    clip convention (w = view depth, z = -0.1).
+    res: int (square) or (H, W). Returns (w2cs [n,4,4], projs [n,4,4])
+    TRANSPOSED, in the reference clip convention (w = view depth,
+    z = -0.1).
     """
+    h, w = (res, res) if isinstance(res, int) else res
     w2cs, projs = [], []
-    f = res * 1.2  # focal length in pixels
+    f = min(h, w) * 1.2  # focal length in pixels
     for i in range(n):
         ang = 2 * np.pi * i / n
         eye = np.array([radius * np.cos(ang), 0.4, radius * np.sin(ang)])
@@ -25,16 +27,22 @@ def ring_cameras(n: int, radius: float = 3.0, res: int = 64):
         w2c = np.eye(4, dtype=np.float32)
         w2c[:3, :3] = R; w2c[:3, 3] = t
         proj = np.zeros((4, 4), np.float32)
-        proj[0, 0] = f / (res / 2.0)
-        proj[1, 1] = f / (res / 2.0)
+        proj[0, 0] = f / (w / 2.0)
+        proj[1, 1] = f / (h / 2.0)
         proj[2, 3] = -0.1
         proj[3, 2] = 1.0
         w2cs.append(w2c.T); projs.append(proj.T)
     return np.stack(w2cs), np.stack(projs)
 
 
-def hand_scene(res: int = 64, n_views: int = 8, subdiv: int = 0):
-    """Synthetic hand mesh + ring cameras; returns (verts, faces, w2cs, projs)."""
+def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
+               two_hands: bool = False):
+    """Synthetic hand mesh + ring cameras; returns (verts, faces, w2cs, projs).
+
+    res: int (square) or (H, W). two_hands mirrors the mesh into a fused
+    left+right pair, matching the reference's two-hand workloads
+    (`/root/reference/mano_optim.py:320-322` face fusion).
+    """
     import jax.numpy as jnp
     from ..body import synthetic_hand_model, mano_forward
     from ..core.subdivision import loop_subdivide_iter
@@ -48,5 +56,12 @@ def hand_scene(res: int = 64, n_views: int = 8, subdiv: int = 0):
     faces = np.asarray(m.faces)
     if subdiv:
         verts, faces = loop_subdivide_iter(verts, faces, subdiv)
+    if two_hands:
+        V = verts.shape[0]
+        left = verts * np.asarray([-1.0, 1.0, 1.0], np.float32)
+        verts = np.concatenate(
+            [left - np.asarray([0.28, 0, 0], np.float32),
+             verts + np.asarray([0.28, 0, 0], np.float32)])
+        faces = np.concatenate([faces, faces + V])
     w2cs, projs = ring_cameras(n_views, res=res)
     return verts.astype(np.float32), faces.astype(np.int32), w2cs, projs

@@ -180,6 +180,7 @@ def run_ham(
     imgs, grayimgs, masks, w2cs, projs, vertices, faces, cfg: HamConfig,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 50,
+    warm_start: dict | None = None,
 ):
     """Full HAM optimization. All image/camera args [N, ...] jnp/np arrays;
     vertices [V, 3] the x3-subdivided initial mesh; faces [F, 3].
@@ -189,6 +190,11 @@ def run_ham(
     snapshot on restart (the reference loses the run on a crash,
     SURVEY.md §5). Returns dict with optimized vertices/delta/albedo/
     sh_coeffs and the loss traces of both stages.
+
+    `warm_start` = {"albedo": [V,3], "sh_coeffs": [N,d2], "delta": [V,3]}
+    (any subset) seeds the optimization from a previous frame's result —
+    the sequence mode of `conf/ih_sfsseq.conf` (10+5 epochs/frame only
+    make sense warm-started).
     """
     imgs = jnp.asarray(imgs, jnp.float32)
     grayimgs = jnp.asarray(grayimgs, jnp.float32)
@@ -211,10 +217,28 @@ def run_ham(
         {"capacity": int(cfg.raster_capacity)}
         if cfg.raster_capacity else {}
     )
+    # auto-size the deferred record budget once at setup (static after;
+    # VERDICT: no silent drops — the audit sizes for the actual scene)
+    from ..raster.deferred import audit_deferred_rows
+
+    clip0 = project_verts(vertices, w2cs, projs)
+    _, rows_budget = audit_deferred_rows(clip0, faces_np, res)
+    raster_kw["rows_budget"] = rows_budget
+
     sh_coeffs, albedo, valid_masks = sh_init(
         grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,
         raster_kw=raster_kw,
     )
+    delta0 = jnp.zeros_like(vertices)
+    if warm_start:
+        if warm_start.get("albedo") is not None:
+            albedo = jnp.asarray(warm_start["albedo"], jnp.float32)
+        if warm_start.get("sh_coeffs") is not None:
+            ws_sh = jnp.asarray(warm_start["sh_coeffs"], jnp.float32)
+            if ws_sh.shape == sh_coeffs.shape:
+                sh_coeffs = ws_sh
+        if warm_start.get("delta") is not None:
+            delta0 = jnp.asarray(warm_start["delta"], jnp.float32)
 
     edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
 
@@ -314,7 +338,7 @@ def run_ham(
         (p, s), losses = jax.lax.scan(step, (params, state), (batch_seg, step_seg))
         return p, s, losses
 
-    params_b = {"delta": jnp.zeros_like(vertices), "albedo": albedo}
+    params_b = {"delta": delta0, "albedo": albedo}
     state_b = opt_b.init(params_b)
     total_steps = batches_b.shape[0]
     seg_len = max(1, checkpoint_every * steps_pe)

@@ -212,6 +212,30 @@ def interpolate(attr, rast, faces):
     return jnp.where(mask, out, 0.0)
 
 
+_DEFERRED_TOPO_CACHE: dict = {}
+
+
+def _deferred_topology_for(faces, num_vertices: int):
+    """Host-side DeferredTopology cache keyed by face-array content.
+
+    Returns None when `faces` is a traced value (cannot build host-side).
+    """
+    import numpy as np
+
+    try:
+        f_np = np.asarray(faces, np.int32)
+    except Exception:
+        return None
+    key = (f_np.shape[0], int(num_vertices), hash(f_np.tobytes()))
+    topo = _DEFERRED_TOPO_CACHE.get(key)
+    if topo is None:
+        from .deferred import DeferredTopology
+
+        topo = DeferredTopology.build(f_np, num_vertices)
+        _DEFERRED_TOPO_CACHE[key] = topo
+    return topo
+
+
 def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
                   **kw):
     """Fused render: visibility + barycentrics + interpolation (+ AA
@@ -220,11 +244,35 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
     clip: [B, V, 4]; attr: [V, C] or [B, V, C]. Returns
     (rast [B,H,W,4], feat [B,H,W,C], aa_weights|None).
 
-    The corner gather is the dominant per-pixel cost on TPU (~10 ms per
-    gather at 512²x4); concatenating clip and attributes into one table
-    makes the whole differentiable render path pay it once.
+    On TPU, `impl='auto'` routes to the deferred-shading Pallas path
+    (raster/deferred.py): one kernel pass yields the winning triangle's
+    full record per pixel and a custom_vjp backward with no pixel-sized
+    gathers or scatter-adds. Note: the Pallas call is not GSPMD-
+    partitionable — under multi-device sharding, wrap the render in
+    shard_map so each device rasterizes its own view/row shard (see
+    dist/sharding.py). Explicit impl= values keep the XLA paths.
+
+    The corner gather is the dominant per-pixel cost on the XLA paths
+    (~10 ms per gather at 512²x4); concatenating clip and attributes into
+    one table makes the whole differentiable render path pay it once.
     """
     from .antialias import antialias_weights  # cycle-free at call time
+
+    if impl in ("auto", "deferred"):
+        on_cpu = jax.default_backend() == "cpu"
+        if impl == "deferred" or not on_cpu:
+            topo_d = _deferred_topology_for(faces, clip.shape[1])
+            if topo_d is not None:
+                from .deferred import render_pixels_deferred
+
+                return render_pixels_deferred(
+                    clip, attr, topo_d, resolution,
+                    max_span=kw.get("max_span"),
+                    rows_budget=kw.get("rows_budget"),
+                    with_aa=aa_topology is not None,
+                    interpret=on_cpu)
+    kw.pop("rows_budget", None)
+    kw.pop("max_span", None)
 
     faces = jnp.asarray(faces, jnp.int32)
     h, w = resolution

@@ -44,7 +44,6 @@ TILE_H = 8
 TILE_W = 128
 _PIX = TILE_H * TILE_W
 _BIG = np.float32(3.0e38)
-_BWD_CHUNK = 128  # backward one-hot matmul rows; ALIGN must be a multiple
 
 
 def _round_up(x: int, m: int) -> int:
@@ -93,8 +92,26 @@ class DeferredTopology:
                    num_vertices=V)
 
 
-def _plan(F, V, C, H, W, capacity, max_span, global_cap):
-    """Static layout plan shared by fwd/bwd."""
+def default_max_span(F: int, H: int, W: int) -> int:
+    """4 for subpixel-dense meshes (most faces span 1-2 tiles), 8 for
+    coarse meshes where larger tile bboxes are common."""
+    return 4 if F * 16 > H * W else 8
+
+
+def _plan(F, V, C, H, W, max_span, global_cap, rows_budget=None):
+    """Static layout plan shared by fwd/bwd.
+
+    The record stream is COMPACT: the sorted (tile, face) pairs are kept
+    exactly as the sort produces them, with per-tile [start, end) ranges
+    that need not be chunk-aligned. The kernels mask lanes outside the
+    range, so no row expansion (and no per-tile bin capacity) is needed.
+
+    rows_budget bounds the LIVE (tile, face) pair count per view. The
+    default F * max_span is lossless; a probed budget (see
+    `audit_deferred_rows`) shrinks record materialisation to ~the live
+    pair count. If live pairs exceed the budget the highest-index tiles
+    lose records — size with margin via the audit.
+    """
     tiles_y = math.ceil(H / TILE_H)
     tiles_x = math.ceil(W / TILE_W)
     T = tiles_y * tiles_x
@@ -104,27 +121,30 @@ def _plan(F, V, C, H, W, capacity, max_span, global_cap):
     # broadcast as [1, K] rows inside the kernel.
     rec = _round_up(r_used, 8)
     chunk = 128               # records per kernel chunk (lane dim)
-    align = _round_up(_BWD_CHUNK, chunk)
     g_pad = _round_up(global_cap, chunk)
-    na = F * max_span + T * align          # upper bound on aligned rows
-    na = _round_up(na, align)
-    rows = na + g_pad
+    lossless = F * max_span
+    live_cap = lossless if rows_budget is None else min(
+        lossless, int(rows_budget))
+    live_cap = max(live_cap, chunk)
+    rows_main = _round_up(live_cap, chunk)
+    rows = rows_main + g_pad
     rg = _round_up(r_used, 8)
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
-                rec=rec, chunk=chunk, align=align, g_pad=g_pad, na=na,
-                rows=rows, rg=rg, Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
+                rec=rec, chunk=chunk, g_pad=g_pad, live_cap=live_cap,
+                rows_main=rows_main, rows=rows, rg=rg,
+                Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
 
 
 # --------------------------------------------------------------------------
 # Per-view record build (pure XLA, non-differentiable structure)
 # --------------------------------------------------------------------------
 
-def _build_view(tri, attr_f, eids_f, p, *, H, W, capacity, max_span,
-                global_cap):
-    """tri [F, 3, 4], attr_f [F, 3C] for ONE view -> aligned record array.
+def _build_view(tri, attr_f, eids_f, p, *, H, W, max_span, global_cap):
+    """tri [F, 3, 4], attr_f [F, 3C] for ONE view -> compact record stream.
 
     Returns (records [rows, rec] f32, face_of_row [rows] int32 (F = dead),
-    counts [T], aligned_starts [T], g_count scalar).
+    starts [T], ends [T], g_count scalar). starts/ends index the compact
+    sorted stream and are NOT chunk-aligned; the kernels mask.
     """
     F = tri.shape[0]
     T = p["T"]
@@ -147,21 +167,17 @@ def _build_view(tri, attr_f, eids_f, p, *, H, W, capacity, max_span,
         tile.reshape(-1), face.reshape(-1), is_stable=True)
 
     t_ar = jnp.arange(T, dtype=jnp.int32)
-    starts = jnp.searchsorted(keys, t_ar, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(keys, t_ar, side="right").astype(jnp.int32)
-    counts = jnp.minimum(ends - starts, capacity).astype(jnp.int32)
+    live_cap = p["live_cap"]
+    starts = jnp.minimum(
+        jnp.searchsorted(keys, t_ar, side="left"), live_cap).astype(jnp.int32)
+    ends = jnp.minimum(
+        jnp.searchsorted(keys, t_ar, side="right"), live_cap).astype(jnp.int32)
 
-    padded = ((counts + p["align"] - 1) // p["align"]) * p["align"]
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-
-    j = jnp.arange(p["na"], dtype=jnp.int32)
-    t_of = (jnp.searchsorted(aligned_starts, j, side="right") - 1).astype(jnp.int32)
-    t_of = jnp.clip(t_of, 0, T - 1)
-    k_of = j - aligned_starts[t_of]
-    row_live = k_of < counts[t_of]
-    src = jnp.minimum(starts[t_of] + k_of, keys.shape[0] - 1)
-    face_of = jnp.where(row_live, vals[src], F)
+    keys = keys[:live_cap]
+    vals = vals[:live_cap]
+    face_of = jnp.where(keys < T, vals, F)
+    face_of = jnp.pad(face_of, (0, p["rows_main"] - keys.shape[0]),
+                      constant_values=F)
 
     # global (oversized) faces
     g_idx = jnp.nonzero(big, size=global_cap, fill_value=-1)[0].astype(jnp.int32)
@@ -183,7 +199,7 @@ def _build_view(tri, attr_f, eids_f, p, *, H, W, capacity, max_span,
     table = jnp.concatenate([cols, sent], axis=0)
 
     records = table[face_of_row]
-    return records, face_of_row, counts, aligned_starts, g_count
+    return records, face_of_row, starts, ends, g_count
 
 
 # --------------------------------------------------------------------------
@@ -199,15 +215,15 @@ def _make_fwd_kernel(p, H, W):
     loads. The winner's record columns are extracted per chunk by a
     one-hot matmul on the MXU instead of per-record selects.
     """
-    chunk, rec, na = p["chunk"], p["rec"], p["na"]
-    rows = p["rows"]
+    chunk, rec = p["chunk"], p["rec"]
+    rows, rows_main = p["rows"], p["rows_main"]
     tiles_x = p["tiles_x"]
     inv_w2 = np.float32(2.0 / W)
     inv_h2 = np.float32(2.0 / H)
     K = chunk
 
     def kernel(meta_ref, rec_hbm, outf_ref, slot_ref):
-        # meta_ref [1,1,1,4] SMEM: aligned_start, count, g_count
+        # meta_ref [1,1,1,4] SMEM: start, end, g_count
         # rec_hbm [B*rows/128, rec, 128] f32 (ANY/HBM, chunk-transposed)
         # outf_ref [1,1,P,rec] VMEM; slot_ref [1,1,P,1] VMEM int32
         b = pl.program_id(0)
@@ -223,16 +239,18 @@ def _make_fwd_kernel(p, H, W):
             0.5 * inv_h2 - 1.0)                     # [P, 1]
 
         start = meta_ref[0, 0, 0, 0]
-        count = meta_ref[0, 0, 0, 1]
+        end = meta_ref[0, 0, 0, 1]
         gcnt = meta_ref[0, 0, 0, 2]
-        n_main = (count + (K - 1)) // K
+        c0 = start // K
+        n_main = jnp.where(end > start, (end + (K - 1)) // K - c0, 0)
         n_glob = (gcnt + (K - 1)) // K
         n_total = n_main + n_glob
         base = b * (rows // K)
+        gbase = rows_main // K
 
         def chunk_of(ci):
-            return base + jnp.where(ci < n_main, start // K + ci,
-                                    na // K + (ci - n_main))
+            return base + jnp.where(ci < n_main, c0 + ci,
+                                    gbase + (ci - n_main))
 
         def body(tri_buf, sems):
             def dma(slot_i, ci):
@@ -259,6 +277,13 @@ def _make_fwd_kernel(p, H, W):
                 tri_c = tri_buf[sl]                  # [rec, K]
                 r = lambda i: tri_c[i:i + 1, :]      # [1, K]
                 face_id = r(12)
+                k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+                rel = chunk_of(ci) - base
+                ridx = rel * K + k_iota              # record idx in view
+                # select between i1 vectors is illegal in Mosaic; use i32
+                main_m = ((ridx >= start) & (ridx < end)).astype(jnp.int32)
+                glob_m = ((ridx - rows_main) < gcnt).astype(jnp.int32)
+                lane_live = jnp.where(ci < n_main, main_m, glob_m) > 0
                 x0, y0, z0, w0 = r(0), r(1), r(2), r(3)
                 x1, y1, z1, w1 = r(4), r(5), r(6), r(7)
                 x2, y2, z2, w2 = r(8), r(9), r(10), r(11)
@@ -271,7 +296,7 @@ def _make_fwd_kernel(p, H, W):
                 d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
                 sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
                 inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
-                ok = ((face_id > 0.0)
+                ok = (lane_live & (face_id > 0.0)
                       & (jnp.abs(d) > AREA_EPS)
                       & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS))
                 zf = z0 * iw0, z1 * iw1, z2 * iw2    # [1, K] each
@@ -287,7 +312,6 @@ def _make_fwd_kernel(p, H, W):
 
                 # lane argmin (first minimum = lowest face id in the bin)
                 zmin = jnp.min(zw, axis=1, keepdims=True)        # [P, 1]
-                k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
                 kmin = jnp.min(
                     jnp.where(zw <= zmin, k_iota, K), axis=1,
                     keepdims=True)                                # [P, 1]
@@ -331,67 +355,92 @@ def _make_fwd_kernel(p, H, W):
 # --------------------------------------------------------------------------
 
 def _make_bwd_kernel(p):
-    rg, na, g_pad, rows = p["rg"], p["na"], p["g_pad"], p["rows"]
-    KB = _BWD_CHUNK
+    """Per-tile grad reduction: g_rec[:, k] = sum_p onehot(slot_p==k) g[:, p].
 
-    def kernel(meta_ref, slot_ref, g_ref, gpairs_hbm, gglob_ref, stage, sems):
-        # meta [1,1,1,4] SMEM; slot_ref [1,1,P,1] int32; g_ref [1,1,rg,P] f32
-        # gpairs_hbm [B, rg, rows] ANY; gglob_ref [1,1,rg,g_pad] VMEM out
-        # stage: VMEM scratch (2, rg, KB) for DMA staging
+    The record stream is compact, so consecutive tiles can share a
+    boundary chunk (and every tile touches the same global-face chunks).
+    The kernel therefore ACCUMULATES: read chunk, add this tile's one-hot
+    matmul contribution, write back. TPU grid steps execute sequentially
+    and all in-flight stores are drained before the kernel body returns,
+    so the read-modify-write is race-free; gpairs is zero-initialised via
+    input/output aliasing.
+    """
+    rg, rows, rows_main = p["rg"], p["rows"], p["rows_main"]
+    K = p["chunk"]
+
+    def kernel(meta_ref, slot_ref, g_ref, zeros_ref, gpairs_hbm, stage_in,
+               stage_out, sems_r, sems_w):
+        # meta [1,1,1,4] SMEM: start, end, g_count
+        # slot_ref [1,1,P,1] int32; g_ref [1,1,rg,P] f32
+        # zeros_ref: aliased input view of gpairs_hbm (unused directly)
+        # gpairs_hbm [B, rg, rows] ANY (zero-initialised via aliasing)
+        # stage_in/stage_out: VMEM (2, rg, K) DMA staging
+        del zeros_ref
         b = pl.program_id(0)
         start = meta_ref[0, 0, 0, 0]
-        count = meta_ref[0, 0, 0, 1]
-        n_iter = (count + KB - 1) // KB
+        end = meta_ref[0, 0, 0, 1]
+        gcnt = meta_ref[0, 0, 0, 2]
+        c0 = start // K
+        n_main = jnp.where(end > start, (end + (K - 1)) // K - c0, 0)
+        n_glob = (gcnt + (K - 1)) // K
+        n_iter = n_main + n_glob
+        gbase = rows_main // K
         slot_col = slot_ref[0, 0]          # [P, 1] int32
         g_mat = g_ref[0, 0]                # [rg, P] f32
 
+        def chunk_of(ci):
+            return jnp.where(ci < n_main, c0 + ci, gbase + (ci - n_main))
+
+        def rd(sl, ci):
+            k0 = pl.multiple_of(chunk_of(ci) * K, K)
+            return pltpu.make_async_copy(
+                gpairs_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
+                sems_r.at[sl])
+
+        def wr(sl, ci):
+            k0 = pl.multiple_of(chunk_of(ci) * K, K)
+            return pltpu.make_async_copy(
+                stage_out.at[sl], gpairs_hbm.at[b, :, pl.ds(k0, K)],
+                sems_w.at[sl])
+
+        @pl.when(n_iter > 0)
+        def _():
+            rd(0, 0).start()
+
         def loop(ci, _):
             sl = jax.lax.rem(ci, 2)
-            k0 = pl.multiple_of(start + ci * KB, KB)
-            k_iota = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
-            onehot = (slot_col == k_iota).astype(jnp.float32)  # [P, KB]
+
+            @pl.when(ci + 1 < n_iter)
+            def _():
+                rd(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+            k_iota = chunk_of(ci) * K + jax.lax.broadcasted_iota(
+                jnp.int32, (1, K), 1)
+            onehot = (slot_col == k_iota).astype(jnp.float32)  # [P, K]
             gc = jax.lax.dot_general(
                 g_mat, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [rg, KB]
-            # wait for the DMA that used this staging slot two iters ago
+            )  # [rg, K]
+            rd(sl, ci).wait()
+            # wait for the store that used this staging slot two iters ago
             @pl.when(ci >= 2)
             def _():
-                pltpu.make_async_copy(
-                    stage.at[sl],
-                    gpairs_hbm.at[b, :, pl.ds(
-                        pl.multiple_of(start + (ci - 2) * KB, KB), KB)],
-                    sems.at[sl]).wait()
-            stage[sl] = gc
-            pltpu.make_async_copy(
-                stage.at[sl], gpairs_hbm.at[b, :, pl.ds(k0, KB)],
-                sems.at[sl]).start()
+                wr(sl, ci - 2).wait()
+            stage_out[sl] = stage_in[sl] + gc
+            wr(sl, ci).start()
             return 0
 
         jax.lax.fori_loop(0, n_iter, loop, 0)
 
-        # drain outstanding stores (the last two loop iterations')
+        # drain outstanding stores (the last two loop iterations') so the
+        # next grid step's reads observe them
         for i in range(2):
             ci = n_iter - 2 + i
 
             @pl.when(ci >= 0)
             def _(ci=ci):
-                sl = jax.lax.rem(ci, 2)
-                pltpu.make_async_copy(
-                    stage.at[sl],
-                    gpairs_hbm.at[b, :, pl.ds(
-                        pl.multiple_of(start + ci * KB, KB), KB)],
-                    sems.at[sl]).wait()
-
-        # global faces: partial reduction, summed over tiles in XLA
-        kg = na + jax.lax.broadcasted_iota(jnp.int32, (1, g_pad), 1)
-        onehot_g = (slot_col == kg).astype(jnp.float32)  # [P, g_pad]
-        gglob_ref[0, 0] = jax.lax.dot_general(
-            g_mat, onehot_g,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+                wr(jax.lax.rem(ci, 2), ci).wait()
 
     return kernel
 
@@ -404,23 +453,27 @@ _CORE_CACHE: dict = {}
 
 
 def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
-                      capacity: int, max_span: int = 8,
-                      global_cap: int = 64, interpret: bool = False):
+                      max_span: int | None = None,
+                      global_cap: int = 64, rows_budget: int | None = None,
+                      shared_attr: bool = False, interpret: bool = False):
     """Cached custom_vjp'd core for one (topology, config).
 
-    Returned fn: (clip [B, V, 4], attr [B, V, C]) ->
-      (comp [r_used, B, H, W] f32, ids [B, H, W] int32).
+    Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
+    shared_attr) -> (comp [r_used, B, H, W] f32, ids [B, H, W] int32).
     comp rows: 0:12 corner clip coords (x0 y0 z0 w0 x1 ... w2),
     12 face id (float), 13:16 AA edge ids (float), 16: 3xC corner attrs
     (corner-major: a0[C], a1[C], a2[C]).
     """
-    key = (id(topo), C, H, W, capacity, max_span, global_cap, interpret)
+    F = int(topo.faces.shape[0])
+    V = topo.num_vertices
+    if max_span is None:
+        max_span = default_max_span(F, H, W)
+    key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
+           shared_attr, interpret)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
-    F = int(topo.faces.shape[0])
-    V = topo.num_vertices
-    p = _plan(F, V, C, H, W, capacity, max_span, global_cap)
+    p = _plan(F, V, C, H, W, max_span, global_cap, rows_budget)
     # Keep topology as NUMPY in the closure: the core is cached across jit
     # traces, and jnp constants created inside one trace would leak into
     # the next (UnexpectedTracerError).
@@ -428,24 +481,35 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     eids_np = np.asarray(topo.face_edge_ids, np.float32)
     inc_np = topo.vert_incidence
     tiles_y, tiles_x, T = p["tiles_y"], p["tiles_x"], p["T"]
-    r_used, rows, na, rg = p["r_used"], p["rows"], p["na"], p["rg"]
+    r_used, rows, rg = p["r_used"], p["rows"], p["rg"]
     Hp, Wp = p["Hp"], p["Wp"]
 
     def _fwd_impl(clip, attr):
         B = clip.shape[0]
-        faces_j = jnp.asarray(faces_np)
         eids_f = jnp.asarray(eids_np)
-        tri = clip[:, faces_j]                       # [B, F, 3, 4]
-        attr_f = attr[:, faces_j].reshape(B, F, 3 * C)
-        records, face_of_row, counts, astarts, g_count = jax.vmap(
+        faces_flat = jnp.asarray(faces_np.reshape(-1))   # [3F]
+        # B-independent corner gather: ONE [V, B*4]-table row-gather of 3F
+        # rows instead of B*3F gathered rows (gather cost scales with row
+        # count, not row width).
+        clip_t = clip.transpose(1, 0, 2).reshape(V, B * 4)
+        tri_flat = clip_t[faces_flat]                    # [3F, B*4]
+        tri = tri_flat.reshape(F, 3, B, 4).transpose(2, 0, 1, 3)
+        if shared_attr:
+            attr_f = attr[faces_flat].reshape(F, 3 * C)  # static, no B
+            attr_fb = jnp.broadcast_to(attr_f[None], (B, F, 3 * C))
+        else:
+            at = attr.transpose(1, 0, 2).reshape(V, B * C)
+            af = at[faces_flat]                          # [3F, B*C]
+            attr_fb = af.reshape(F, 3, B, C).transpose(
+                2, 0, 1, 3).reshape(B, F, 3 * C)
+        records, face_of_row, starts, ends, g_count = jax.vmap(
             lambda t, a: _build_view(
-                t, a, eids_f, p, H=H, W=W, capacity=capacity,
+                t, a, eids_f, p, H=H, W=W,
                 max_span=max_span, global_cap=global_cap)
-        )(tri, attr_f)
+        )(tri, attr_fb)
 
         meta = jnp.stack(
-            [jnp.broadcast_to(astarts[:, :], (B, T)),
-             jnp.broadcast_to(counts, (B, T)),
+            [starts, ends,
              jnp.broadcast_to(g_count[:, None], (B, T)),
              jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
         meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
@@ -506,7 +570,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         slot_x = slot.reshape(B, T, _PIX, 1)
 
         kernel = _make_bwd_kernel(p)
-        gpairs, gglob = pl.pallas_call(
+        zeros = jnp.zeros((B, rg, rows), jnp.float32)
+        gpairs = pl.pallas_call(
             kernel,
             grid=(B, T),
             in_specs=[
@@ -516,29 +581,22 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, rg, _PIX), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 1, rg, p["g_pad"]),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
             ],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, rg, rows), jnp.float32),
-                jax.ShapeDtypeStruct((B, T, rg, p["g_pad"]), jnp.float32),
-            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, rg, rows), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, rg, _BWD_CHUNK), jnp.float32),
+                pltpu.VMEM((2, rg, p["chunk"]), jnp.float32),
+                pltpu.VMEM((2, rg, p["chunk"]), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            input_output_aliases={3: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(meta, slot_x, g)
+        )(meta, slot_x, g, zeros)
 
         g_rows = gpairs.transpose(0, 2, 1)            # [B, rows, rg]
-        g_glob = gglob.sum(axis=1).transpose(0, 2, 1)  # [B, g_pad, rg]
-        g_rows = jax.lax.dynamic_update_slice(
-            g_rows, g_glob, (0, na, 0))
 
         g_face = jax.vmap(
             lambda d, i: jax.ops.segment_sum(d, i, num_segments=F + 1)
@@ -552,9 +610,14 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         g_clip = g_coords[:, inc_j].sum(axis=2)        # [B, V, 4]
 
         g_attr_f = g_face[:, :, 16:16 + 3 * C].reshape(B, F * 3, C)
-        g_attr_f = jnp.concatenate(
-            [g_attr_f, jnp.zeros((B, 1, C), g_attr_f.dtype)], axis=1)
-        g_attr = g_attr_f[:, inc_j].sum(axis=2)        # [B, V, C]
+        if shared_attr:
+            g_af = jnp.concatenate(
+                [g_attr_f.sum(axis=0), jnp.zeros((1, C), g_attr_f.dtype)])
+            g_attr = g_af[inc_j].sum(axis=1)           # [V, C]
+        else:
+            g_attr_f = jnp.concatenate(
+                [g_attr_f, jnp.zeros((B, 1, C), g_attr_f.dtype)], axis=1)
+            g_attr = g_attr_f[:, inc_j].sum(axis=2)    # [B, V, C]
         return g_clip, g_attr
 
     core_vjp = jax.custom_vjp(core)
@@ -567,10 +630,37 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 # High-level render path (mirrors api.render_pixels)
 # --------------------------------------------------------------------------
 
+def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
+    """Per-view live (tile, face) pair counts for sizing `rows_budget`.
+
+    clip [B, V, 4] (concrete); returns (live_counts [B] np, suggested
+    budget int). Run once at scene setup; the budget is static thereafter.
+    """
+    H, W = resolution
+    F = int(faces.shape[0])
+    if max_span is None:
+        max_span = default_max_span(F, H, W)
+    tiles_y = math.ceil(H / TILE_H)
+    tiles_x = math.ceil(W / TILE_W)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def one(tri):
+        _, _, span_x, span_y, valid = _face_tile_ranges(
+            tri, TILE_H, TILE_W, tiles_y, tiles_x, H, W)
+        n_tiles = span_x * span_y
+        small = valid & (n_tiles <= max_span)
+        return jnp.sum(jnp.where(small, n_tiles, 0))
+
+    faces_j = jnp.asarray(faces, jnp.int32)
+    live = np.asarray([int(one(c[faces_j])) for c in clip])
+    budget = _round_up(int(live.max() * 1.3) + 1024, 128)
+    return live, min(budget, F * max_span)
+
+
 def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
-                           *, capacity, max_span: int = 8,
-                           global_cap: int = 64, with_aa: bool = True,
-                           interpret: bool = False):
+                           *, max_span: int | None = None,
+                           global_cap: int = 64, rows_budget: int | None = None,
+                           with_aa: bool = True, interpret: bool = False):
     """Deferred-path drop-in for api.render_pixels.
 
     clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
@@ -581,12 +671,12 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
 
     H, W = resolution
     B = clip.shape[0]
-    if attr.ndim == 2:
-        attr = jnp.broadcast_to(attr[None], (B,) + attr.shape)
     C = attr.shape[-1]
 
-    core = get_deferred_core(topo, C, H, W, capacity=capacity,
+    core = get_deferred_core(topo, C, H, W,
                              max_span=max_span, global_cap=global_cap,
+                             rows_budget=rows_budget,
+                             shared_attr=attr.ndim == 2,
                              interpret=interpret)
     comp, ids = core(clip, attr)
 

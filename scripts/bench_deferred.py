@@ -104,8 +104,7 @@ def main():
                              aa_topology=topo_aa, capacity=cap)
 
     def new_renderer(clip, attr):
-        return render_pixels_deferred(clip, attr, topo_d, (H, W),
-                                      capacity=cap)
+        return render_pixels_deferred(clip, attr, topo_d, (H, W))
 
     opt = optax.adam(1e-4)
 

@@ -11,8 +11,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 PRESETS = {
-    "full": (512, 512, 4, 2),
-    "prod": (256, 256, 4, 3),
+    "full": (512, 512, 4, 2, False),
+    "prod": (256, 256, 4, 3, False),
+    "ih": (334, 512, 16, 3, True),
 }
 
 
@@ -51,11 +52,10 @@ def main():
     from fmhr_tpu.raster import apply_antialias
     from fmhr_tpu.raster.deferred import (
         DeferredTopology, render_pixels_deferred, get_deferred_core)
-    from fmhr_tpu.raster.visibility import audit_bin_counts
 
-    H, W, n_views, subdiv = PRESETS[args.preset]
-    verts, faces, w2cs, projs = hand_scene(res=max(H, W), n_views=n_views,
-                                           subdiv=subdiv)
+    H, W, n_views, subdiv, two_hands = PRESETS[args.preset]
+    verts, faces, w2cs, projs = hand_scene(res=(H, W), n_views=n_views,
+                                           subdiv=subdiv, two_hands=two_hands)
     V = verts.shape[0]
     F = int(faces.shape[0])
     topo = MeshTopology.build(faces, V)
@@ -75,11 +75,12 @@ def main():
               "albedo": jnp.full_like(verts0, 0.5), "sh": sh}
 
     clip0 = project_verts(verts0, w2cs, projs)
-    maxc = max(audit_bin_counts(clip0, faces_j, H, W))
-    cap = int(np.ceil(max(128, maxc * 1.25) / 128) * 128)
     C = 7
-    core = get_deferred_core(topo_d, C, H, W, capacity=cap)
-    print(f"faces={F} cap={cap}", flush=True)
+    from fmhr_tpu.raster.deferred import audit_deferred_rows
+    _, budget = audit_deferred_rows(clip0, faces_j, (H, W))
+    core = get_deferred_core(topo_d, C, H, W, rows_budget=budget,
+                             shared_attr=True)
+    print(f"faces={F} budget={budget}", flush=True)
 
     def mkattr(params):
         v = verts0 + params["delta"]
@@ -89,26 +90,27 @@ def main():
 
     attr0 = jax.jit(mkattr)(params)
     B = n_views
-    attr0b = jnp.broadcast_to(attr0[None], (B,) + attr0.shape)
     gimg = jnp.asarray(rng.standard_normal(
         (16 + 3 * C, B, H, W)), jnp.float32)
 
-    t = timeit(jax.jit(lambda c, a: core(c, a)[0]), clip0, attr0b)
+    profile_build(args.preset)
+    t = timeit(jax.jit(lambda c, a: core(c, a)[0]), clip0, attr0)
     print(f"core fwd only                  : {t:8.2f} ms", flush=True)
 
-    def core_sum(c, a):
+    def core_sum(c, a, g):
         comp, _ = core(c, a)
-        return jnp.sum(comp * gimg)
+        return jnp.sum(comp * g)
 
-    t = timeit(jax.jit(jax.grad(core_sum, argnums=(0, 1))), clip0, attr0b)
+    t = timeit(jax.jit(jax.grad(core_sum, argnums=(0, 1))), clip0, attr0,
+               gimg)
     print(f"core fwd+bwd (sum loss)        : {t:8.2f} ms", flush=True)
 
     def render(c, a):
         rast, feat, aa_w = render_pixels_deferred(
-            c, a, topo_d, (H, W), capacity=cap)
+            c, a, topo_d, (H, W), rows_budget=budget)
         return rast, feat, aa_w
 
-    t = timeit(jax.jit(render), clip0, attr0b)
+    t = timeit(jax.jit(render), clip0, attr0)
     print(f"render_pixels_deferred fwd     : {t:8.2f} ms", flush=True)
 
     def loss_fn(params):
@@ -116,7 +118,7 @@ def main():
         clip = project_verts(v, w2cs, projs)
         attr = mkattr(params)
         rast, feat, aa_w = render_pixels_deferred(
-            clip, attr, topo_d, (H, W), capacity=cap)
+            clip, attr, topo_d, (H, W), rows_budget=budget)
         nrm = safe_normalize(feat[..., :3])
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
         valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
@@ -132,73 +134,97 @@ def main():
     print(f"full loss fwd                  : {t:8.2f} ms", flush=True)
     t = timeit(jax.jit(jax.value_and_grad(loss_fn)), params)
     print(f"full loss fwd+bwd              : {t:8.2f} ms", flush=True)
-    profile_build(args.preset)
 
 
 def profile_build(args_preset="full", platform=None):
-    """Granular: time _build_view, record transpose, kernel alone."""
+    """Granular: time the build stages and transposes separately."""
     import jax
     import jax.numpy as jnp
     from fmhr_tpu.data.synthetic import hand_scene
     from fmhr_tpu.optim.ham import project_verts
     from fmhr_tpu.core.mesh import vertex_normals
     from fmhr_tpu.raster.deferred import (
-        DeferredTopology, _build_view, _plan)
-    from fmhr_tpu.raster.visibility import audit_bin_counts
+        DeferredTopology, _build_view, _plan, audit_deferred_rows,
+        default_max_span)
     import numpy as np
 
-    H, W, n_views, subdiv = PRESETS[args_preset]
-    verts, faces, w2cs, projs = hand_scene(res=max(H, W), n_views=n_views,
-                                           subdiv=subdiv)
+    H, W, n_views, subdiv, two_hands = PRESETS[args_preset]
+    verts, faces, w2cs, projs = hand_scene(res=(H, W), n_views=n_views,
+                                           subdiv=subdiv, two_hands=two_hands)
     V = verts.shape[0]; F = int(faces.shape[0])
     topo_d = DeferredTopology.build(faces, V)
     verts0 = jnp.asarray(verts); faces_j = jnp.asarray(faces)
     clip0 = project_verts(verts0, jnp.asarray(w2cs), jnp.asarray(projs))
-    maxc = max(audit_bin_counts(clip0, faces_j, H, W))
-    cap = int(np.ceil(max(128, maxc * 1.25) / 128) * 128)
     C = 7
-    p = _plan(F, V, C, H, W, cap, 8, 64)
+    S = default_max_span(F, H, W)
+    _, budget = audit_deferred_rows(clip0, faces_j, (H, W), S)
+    p = _plan(F, V, C, H, W, S, 64, budget)
     eids_f = jnp.asarray(np.asarray(topo_d.face_edge_ids, np.float32))
     albedo = jnp.full_like(verts0, 0.5)
     normals = vertex_normals(verts0, faces_j)
     attr = jnp.concatenate([normals, albedo, jnp.ones_like(verts0[:, :1])], -1)
     B = n_views
-    attr_b = jnp.broadcast_to(attr[None], (B,) + attr.shape)
+    faces_flat = jnp.asarray(np.asarray(topo_d.faces).reshape(-1))
+    rows, rec, K = p["rows"], p["rec"], p["chunk"]
+    print(f"S={S} rows={rows} rec={rec}", flush=True)
 
     @jax.jit
-    def build(clip, attrb):
-        tri = clip[:, faces_j]
-        attr_f = attrb[:, faces_j].reshape(B, F, 3 * C)
+    def gather_tri(clip, attr):
+        clip_t = clip.transpose(1, 0, 2).reshape(V, B * 4)
+        tri = clip_t[faces_flat].reshape(F, 3, B, 4).transpose(2, 0, 1, 3)
+        attr_f = attr[faces_flat].reshape(F, 3 * C)
+        return tri, jnp.broadcast_to(attr_f[None], (B, F, 3 * C))
+
+    t = timeit(gather_tri, clip0, attr)
+    print(f"  corner/attr gathers          : {t:8.2f} ms", flush=True)
+    tri, attr_fb = gather_tri(clip0, attr)
+
+    @jax.jit
+    def build(tri, attr_fb):
         return jax.vmap(lambda t, a: _build_view(
-            t, a, eids_f, p, H=H, W=W, capacity=cap, max_span=8,
-            global_cap=64))(tri, attr_f)
+            t, a, eids_f, p, H=H, W=W, max_span=S,
+            global_cap=64))(tri, attr_fb)
 
-    t = timeit(build, clip0, attr_b)
-    print(f"build_view (records+sort)      : {t:8.2f} ms", flush=True)
+    t = timeit(build, tri, attr_fb)
+    print(f"  build_view (sort+records)    : {t:8.2f} ms", flush=True)
+    records = build(tri, attr_fb)[0]
 
     @jax.jit
-    def build_sort_only(clip):
-        tri = clip[:, faces_j]
-        from fmhr_tpu.raster.visibility import _face_tile_ranges
-        def one(trib):
-            tx0, ty0, span_x, span_y, valid = _face_tile_ranges(
-                trib, 8, 128, p["tiles_y"], p["tiles_x"], H, W)
-            n_tiles = span_x * span_y
-            small = valid & (n_tiles <= 8)
-            slots = jnp.arange(8, dtype=jnp.int32)
-            dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
-            dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
-            live = small[:, None] & (slots[None, :] < n_tiles[:, None])
-            tile = (ty0[:, None] + dy) * p["tiles_x"] + (tx0[:, None] + dx)
-            tile = jnp.where(live, tile, p["T"])
-            face = jnp.broadcast_to(
-                jnp.arange(F, dtype=jnp.int32)[:, None], tile.shape)
-            return jax.lax.sort_key_val(
-                tile.reshape(-1), face.reshape(-1), is_stable=True)
-        return jax.vmap(one)(tri)
+    def chunk_t(r):
+        return r.reshape(B * (rows // K), K, rec).transpose(0, 2, 1)
 
-    t = timeit(build_sort_only, clip0)
-    print(f"  pair build + sort only       : {t:8.2f} ms", flush=True)
+    t = timeit(chunk_t, records)
+    print(f"  chunk transpose              : {t:8.2f} ms", flush=True)
+
+    # output-side transposes (fwd comp + bwd g), same shapes as the core
+    tiles_y, tiles_x, T = p["tiles_y"], p["tiles_x"], p["T"]
+    r_used, rg = p["r_used"], p["rg"]
+    Hp, Wp = p["Hp"], p["Wp"]
+    rng = np.random.default_rng(0)
+    outf = jnp.asarray(rng.standard_normal(
+        (B, T, 1024, rec)).astype(np.float32))
+
+    @jax.jit
+    def comp_t(outf):
+        comp = outf[..., :r_used].reshape(
+            B, tiles_y, tiles_x, 8, 128, r_used)
+        return comp.transpose(5, 0, 1, 3, 2, 4).reshape(r_used, B, Hp, Wp)
+
+    t = timeit(comp_t, outf)
+    print(f"  fwd comp transpose           : {t:8.2f} ms", flush=True)
+
+    g_comp = jnp.asarray(rng.standard_normal(
+        (r_used, B, H, W)).astype(np.float32))
+
+    @jax.jit
+    def g_t(g_comp):
+        g = jnp.pad(g_comp, ((0, rg - r_used), (0, 0), (0, Hp - H),
+                             (0, Wp - W)))
+        g = g.reshape(rg, B, tiles_y, 8, tiles_x, 128)
+        return g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rg, 1024)
+
+    t = timeit(g_t, g_comp)
+    print(f"  bwd g transpose              : {t:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -79,8 +79,7 @@ def _xla_path(clip, attr, faces, res, topo_aa):
 
 def _deferred_path(clip, attr, faces, res, topo):
     return render_pixels_deferred(
-        clip, attr, topo, res, capacity=256, max_span=8,
-        interpret=True)
+        clip, attr, topo, res, max_span=8, interpret=True)
 
 
 def test_deferred_forward_matches_xla(scene):
@@ -151,7 +150,7 @@ def test_deferred_batched_attr(scene):
         np.asarray(feat_x), np.asarray(feat_d), atol=1e-5, rtol=1e-5)
 
 
-def test_deferred_capacity_and_globals():
+def test_deferred_globals_path():
     # big triangles exceed max_span -> global list path
     clip, faces, attr = sphere_scene(n_views=1, res=(32, 256))
     big = np.asarray(
@@ -172,7 +171,7 @@ def test_deferred_capacity_and_globals():
     topo_aa = AATopology.build(faces2, nv + 3)
     rast_x, feat_x, _ = _xla_path(clip, attr2, faces2, res, topo_aa)
     rast_d, feat_d, _ = render_pixels_deferred(
-        clip, attr2, topo, res, capacity=256, max_span=2, interpret=True)
+        clip, attr2, topo, res, max_span=2, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(rast_x[..., 3]), np.asarray(rast_d[..., 3]))
     np.testing.assert_allclose(
