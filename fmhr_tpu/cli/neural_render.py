@@ -3,33 +3,134 @@
 Parity: `python neural_render.py --conf conf/demo_sfs.conf --scan_id N
 --data_path ./demo_data --net_type mlp` (`/root/reference/neural_render.py`,
 `README.md:57`): loads the HAM stage outputs (`<out>/demo_sfs/<scan>/
-<scan>.obj` + `.npz|.pt`), trains the two-phase renderer, writes
-checkpoints + `final_<scan>.obj`, then evaluates PSNR/SSIM (+ reference
-PSNR formula) and render fps.
+<scan>.obj` + `.npz|.pt`), trains the two-phase renderer (MLP or UNet
+head), writes checkpoints + `final_<scan>.obj`, then evaluates
+PSNR/SSIM/LPIPS (+ reference PSNR formula) and render fps.
+
+Extras mirrored from the reference:
+- `--continue_train` resumes from the latest checkpoint pickle
+  (`neural_render.py:100-106`).
+- `--repose_id B` re-animates the trained scan-A avatar to scan B's MANO
+  pose via inverse+forward LBS, renders every view, scores
+  PSNR/SSIM/LPIPS and writes pngs + an mp4 (`neural_render.py:323-510`,
+  incl. `write2video` `:503-510`). Needs --mano_left/--mano_right.
+- `--lpips_weights` points at a converted LPIPS-Alex .npz
+  (utils/lpips.py); without it the LPIPS column is skipped, like the
+  reference without the lpips package installed.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import pickle
 import time
 from os.path import join
 
 from ._common import platform_arg, apply_platform
 
 
+def write2video(frames, path: str, fps: int = 10) -> None:
+    """frames: list of [H, W, 3] float RGB in [0,1] -> mp4.
+
+    Parity: `/root/reference/neural_render.py:503-510`.
+    """
+    import cv2
+    import numpy as np
+
+    if not frames:
+        return
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for f in frames:
+        vw.write((np.clip(f[..., ::-1], 0, 1) * 255).astype(np.uint8))
+    vw.release()
+
+
+def _load_ckpt(path: str):
+    import numpy as np
+    from ..optim.neural import NeuralRenderState
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return NeuralRenderState(
+        net_params=d["net"], net_g_params=d.get("net_g"),
+        vertex_feat=np.asarray(d["vertex_feature"]),
+        vertices=np.asarray(d["vertices"]),
+        albedo=np.asarray(d["albedo"]),
+    )
+
+
+def _save_ckpt(path: str, state) -> None:
+    import jax
+    import numpy as np
+
+    with open(path, "wb") as f:
+        pickle.dump({
+            "net": jax.device_get(state.net_params),
+            "net_g": jax.device_get(state.net_g_params),
+            "vertex_feature": np.asarray(state.vertex_feat),
+            "vertices": np.asarray(state.vertices),
+            "albedo": np.asarray(state.albedo),
+        }, f)
+
+
+def _eval_views(render_one, views, imgs, num, out_dir, tag, scan_id,
+                lpips_fn=None):
+    """Shared eval loop: metrics + pngs; returns (metrics dict, frames)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..utils.metrics import psnr, psnr_reference, ssim
+
+    rng = jax.random.PRNGKey(0)
+    psnrs, ssims, ref_psnrs, lpipss, frames = [], [], [], [], []
+    infer_time = 0.0
+    for k in range(num):
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        pred, masks = render_one(
+            jnp.asarray(views.rays[k:k+1]), jnp.asarray(views.w2cs[k:k+1]),
+            jnp.asarray(views.projs[k:k+1]), sub,
+        )
+        pred = jax.block_until_ready(pred * masks)
+        infer_time += time.perf_counter() - t0
+        m = np.asarray(masks[0])
+        gt = imgs[k] * m
+        pr = np.asarray(pred[0])
+        psnrs.append(psnr(gt, pr))
+        ref_psnrs.append(psnr_reference(gt, pr, m))
+        ssims.append(ssim(gt, pr))
+        if lpips_fn is not None:
+            lpipss.append(float(lpips_fn(gt[None], pr[None])[0]))
+        frames.append(pr)
+        cv2.imwrite(join(out_dir, f"{tag}_{scan_id}_{k:02d}.png"),
+                    (pr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+    metrics = dict(
+        psnr=float(np.mean(psnrs)), ref_psnr=float(np.mean(ref_psnrs)),
+        ssim=float(np.mean(ssims)), fps=num / max(infer_time, 1e-9),
+    )
+    if lpipss:
+        metrics["lpips"] = float(np.mean(lpipss))
+    return metrics, frames
+
+
 def train_and_eval(conf_path: str, scan_id: int, data_path: str,
                    net_type: str = "mlp", num_epochs: int | None = None,
-                   res_override=None):
+                   res_override=None, continue_train: bool = False,
+                   lpips_weights: str | None = None,
+                   repose_id: int | None = None,
+                   mano_left: str | None = None,
+                   mano_right: str | None = None):
     import numpy as np
     import jax
     import jax.numpy as jnp
-    import cv2
 
     from ..utils.config import load_config
     from ..utils.obj_io import load_obj, save_obj
     from ..utils.artifacts import load_ham_out
-    from ..utils.metrics import psnr, psnr_reference, ssim
     from ..data import load_demo_views
     from ..optim.neural import train_neural_renderer, neural_forward
 
@@ -54,27 +155,33 @@ def train_and_eval(conf_path: str, scan_id: int, data_path: str,
     albedo = np.asarray(ham["albedo"]).reshape(-1, 3)[: verts.shape[0]]
 
     epochs = num_epochs if num_epochs is not None else 200
+    ckpt_dir = join(in_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_path = join(ckpt_dir, f"{net_type}_{scan_id}_{epochs}.pkl")
+
+    init_state = None
+    if continue_train and os.path.exists(ckpt_path):
+        init_state = _load_ckpt(ckpt_path)
+        print(f"continue_train: resuming from {ckpt_path}")
+
     state, l1, l2, (net, net_g, pe) = train_neural_renderer(
         imgs, views.masks, views.rays, views.w2cs, views.projs,
         verts, faces, albedo, num_epochs=epochs, batch=2,
+        net_type=net_type, init_state=init_state,
     )
 
-    ckpt_dir = join(in_dir, "checkpoints")
-    os.makedirs(ckpt_dir, exist_ok=True)
-    import pickle
-    with open(join(ckpt_dir, f"{net_type}_{scan_id}_{epochs}.pkl"), "wb") as f:
-        pickle.dump({
-            "net": jax.device_get(state.net_params),
-            "net_g": jax.device_get(state.net_g_params),
-            "vertex_feature": np.asarray(state.vertex_feat),
-        }, f)
+    _save_ckpt(ckpt_path, state)
     save_obj(join(in_dir, f"final_{scan_id}.obj"),
              np.asarray(state.vertices), faces)
+
+    lpips_fn = None
+    if lpips_weights and os.path.exists(lpips_weights):
+        from ..utils.lpips import LPIPSAlex
+        lpips_fn = jax.jit(LPIPSAlex(lpips_weights).__call__)
 
     # ---------------- eval (`neural_render.py:223-321`) -------------------
     os.makedirs(join(in_dir, "rerender"), exist_ok=True)
     faces_j = jnp.asarray(faces)
-    rng = jax.random.PRNGKey(0)
 
     @jax.jit
     def render_one(ray, w2c, proj, rng):
@@ -84,31 +191,110 @@ def train_and_eval(conf_path: str, scan_id: int, data_path: str,
             state.vertex_feat, (h, w), rng,
         )
 
-    psnrs, ssims, ref_psnrs = [], [], []
-    infer_time = 0.0
-    for k in range(num):
-        rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
-        pred, masks = render_one(
-            jnp.asarray(views.rays[k:k+1]), jnp.asarray(views.w2cs[k:k+1]),
-            jnp.asarray(views.projs[k:k+1]), sub,
-        )
-        pred = jax.block_until_ready(pred * masks)
-        infer_time += time.perf_counter() - t0
-        m = np.asarray(masks[0])
-        gt = imgs[k] * m
-        pr = np.asarray(pred[0])
-        psnrs.append(psnr(gt, pr))
-        ref_psnrs.append(psnr_reference(gt, pr, m))
-        ssims.append(ssim(gt, pr))
-        cv2.imwrite(join(in_dir, "rerender", f"nr_{scan_id}_{k:02d}.png"),
-                    (pr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+    metrics, frames = _eval_views(
+        render_one, views, imgs, num, join(in_dir, "rerender"), "nr",
+        scan_id, lpips_fn)
+    lp = f" | LPIPS {metrics['lpips']:.4f}" if "lpips" in metrics else ""
+    print(f"render ave: PSNR {metrics['psnr']:.3f} dB | "
+          f"refPSNR {metrics['ref_psnr']:.3f} | SSIM {metrics['ssim']:.4f}"
+          f"{lp}")
+    print(f"render fps: {metrics['fps']:.2f}")
+    write2video(frames, join(in_dir, f"render_{scan_id}.mp4"))
 
-    print(f"render ave: PSNR {np.mean(psnrs):.3f} dB | "
-          f"refPSNR {np.mean(ref_psnrs):.3f} | SSIM {np.mean(ssims):.4f}")
-    print(f"render fps: {num / infer_time:.2f}")
-    return state, dict(psnr=float(np.mean(psnrs)), ssim=float(np.mean(ssims)),
-                       fps=num / infer_time)
+    # ---------------- eval_repose (`neural_render.py:323-501`) ------------
+    if repose_id is not None:
+        rm = eval_repose(
+            conf, state, net, pe, scan_id, repose_id, data_path,
+            out_path, faces, (h, w), lpips_fn,
+            mano_left=mano_left, mano_right=mano_right)
+        metrics["repose"] = rm
+    return state, metrics
+
+
+def eval_repose(conf, state, net, pe, scan_id: int, repose_id: int,
+                data_path: str, out_path: str, faces, resolution,
+                lpips_fn=None, mano_left: str | None = None,
+                mano_right: str | None = None):
+    """Re-animate the trained scan avatar to `repose_id`'s MANO pose,
+    render all views, score, write pngs + video.
+
+    Parity: `/root/reference/neural_render.py:323-501`.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..body.mano import ManoModel
+    from ..core.subdivision import subdivide_weights_loop
+    from ..data import load_demo_views
+    from ..optim.neural import neural_forward
+    from ..optim.repose_eval import repose_vertices
+    from ..utils.artifacts import load_mano_out
+
+    h, w = resolution
+    in_dir = join(out_path, conf.get_string("out_mesh_dire", "demo_sfs"),
+                  str(scan_id))
+    mano_dir = join(out_path, conf.get_string("input_mesh_dire", "mano_out"))
+
+    def _mano_out(sid):
+        p = join(mano_dir, f"{sid}.npz")
+        if not os.path.exists(p):
+            p = join(mano_dir, f"{sid}.pt")
+        return load_mano_out(p)
+
+    mano_a = _mano_out(scan_id)
+    mano_b = _mano_out(repose_id)
+
+    # The reference uses the x3-subdivided weights (`mano_weight_sub3.pkl`,
+    # `repose.py:26-41`); here the level is inferred from the trained mesh
+    # so non-default `subdiv_iters` HAM runs repose correctly too.
+    vlen = np.asarray(state.vertices).shape[0] // max(len(mano_a), 1)
+    models, sub_weights = {}, {}
+    for hand, path in (("left", mano_left), ("right", mano_right)):
+        if path:
+            m = ManoModel.load_npz(path)
+            models[hand] = m
+            v, fc, sw = m.v_template, m.faces.astype(np.int64), m.lbs_weights
+            for _ in range(6):
+                if sw.shape[0] >= vlen:
+                    break
+                v, fc, sw = subdivide_weights_loop(sw, v, fc, 1)
+            if sw.shape[0] != vlen:
+                raise ValueError(
+                    f"cannot match {hand} weights ({sw.shape[0]}) to the "
+                    f"trained mesh per-hand vertex count ({vlen})")
+            sub_weights[hand] = {"weights": sw}
+
+    new_verts = repose_vertices(
+        np.asarray(state.vertices), mano_a, mano_b, models, sub_weights)
+
+    num = conf.get_int("num")
+    views_b = load_demo_views(data_path, repose_id, num=num, res=(w, h),
+                              with_mask=False, return_ray=True)
+    imgs_b = views_b.imgs[..., ::-1]
+
+    faces_j = jnp.asarray(np.asarray(faces))
+    nv = jnp.asarray(new_verts)
+
+    @jax.jit
+    def render_one(ray, w2c, proj, rng):
+        return neural_forward(
+            lambda p, x: net.apply(p, x), state.net_params, pe,
+            ray, w2c, proj, nv, faces_j, state.albedo,
+            state.vertex_feat, (h, w), rng,
+        )
+
+    repose_dir = join(in_dir, "repose")
+    os.makedirs(repose_dir, exist_ok=True)
+    metrics, frames = _eval_views(
+        render_one, views_b, imgs_b, num, repose_dir, "repose",
+        repose_id, lpips_fn)
+    lp = f" | LPIPS {metrics['lpips']:.4f}" if "lpips" in metrics else ""
+    print(f"repose {scan_id}->{repose_id}: PSNR {metrics['psnr']:.3f} dB | "
+          f"refPSNR {metrics['ref_psnr']:.3f} | SSIM {metrics['ssim']:.4f}"
+          f"{lp} | fps {metrics['fps']:.2f}")
+    write2video(frames, join(repose_dir, f"repose_{scan_id}_{repose_id}.mp4"))
+    return metrics
 
 
 if __name__ == "__main__":
@@ -116,10 +302,20 @@ if __name__ == "__main__":
     ap.add_argument("--conf", type=str, default="conf/demo_sfs.conf")
     ap.add_argument("--scan_id", type=int, default=1)
     ap.add_argument("--data_path", type=str, required=True)
-    ap.add_argument("--net_type", type=str, default="mlp")
+    ap.add_argument("--net_type", type=str, default="mlp",
+                    choices=["mlp", "unet"])
     ap.add_argument("--num_epoch", type=int, default=None)
+    ap.add_argument("--continue_train", action="store_true")
+    ap.add_argument("--lpips_weights", type=str, default=None)
+    ap.add_argument("--repose_id", type=int, default=None,
+                    help="re-animate the avatar to this scan's MANO pose")
+    ap.add_argument("--mano_left", type=str, default=None)
+    ap.add_argument("--mano_right", type=str, default=None)
     platform_arg(ap)
     args = ap.parse_args()
     apply_platform(args)
     train_and_eval(args.conf, args.scan_id, args.data_path, args.net_type,
-                   args.num_epoch)
+                   args.num_epoch, continue_train=args.continue_train,
+                   lpips_weights=args.lpips_weights,
+                   repose_id=args.repose_id, mano_left=args.mano_left,
+                   mano_right=args.mano_right)

@@ -134,10 +134,14 @@ def train_neural_renderer(
     mlp_width: int = 256,
     mlp_depth: int = 8,
     net_type: str = "mlp",
+    init_state: "NeuralRenderState | None" = None,
 ):
     """Two-phase renderer training (net_type 'mlp' or 'unet'). Returns
     (NeuralRenderState, losses1, losses2, modules). Image tensors are
     [N, H, W, ...]; vertices/albedo [V, 3].
+
+    `init_state` resumes from a previous NeuralRenderState (the
+    reference's `continue_train`, `neural_render.py:100-106`).
     """
     imgs = jnp.asarray(imgs, jnp.float32)
     gt_masks = jnp.asarray(gt_masks, jnp.float32)
@@ -179,6 +183,13 @@ def train_neural_renderer(
                 return out[:, crop[0], crop[1]]
             return f
     vertex_feat = jnp.zeros((V, feat_dim))
+    if init_state is not None:
+        net_params = jax.device_put(init_state.net_params)
+        if init_state.net_g_params is not None:
+            net_g_params = jax.device_put(init_state.net_g_params)
+        vertex_feat = jnp.asarray(init_state.vertex_feat)
+        vertices = jnp.asarray(init_state.vertices, jnp.float32)
+        albedo = jnp.asarray(init_state.albedo, jnp.float32)
 
     edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
     vertices_tmp = vertices
