@@ -136,19 +136,50 @@ def prefetch_batches(dataset, batch_size, epochs, seed=0, depth=2):
         yield b
 
 
+def _make_net(net_type, pe, feat_dim, mlp_width, mlp_depth):
+    """(net module, init fn, apply fn) for 'mlp' or 'unet' heads.
+
+    The UNet path is the dense [B, H, W, 284] forward of
+    `train_unet.py:155-198` (input padded so 4 poolings divide evenly;
+    the reference pads W to /8). BatchNorm stats are recomputed per batch
+    and discarded, matching the reference's always-train-mode BN.
+    """
+    in_dim = pe.embedding_size * 3 + 3 + feat_dim
+    if net_type == "mlp":
+        net = RenderMLP(width=mlp_width, depth=mlp_depth)
+        return (net,
+                lambda rng: net.init(rng, jnp.zeros((1, in_dim))),
+                lambda pp, x: net.apply(pp, x))
+    from ..nn.unet import RenderUNet
+    from .neural import pad_to_multiple
+
+    net = RenderUNet(out_channels=3, feature_scale=2)
+
+    def apply(pp, x):
+        xp, crop = pad_to_multiple(x, 16)
+        out = net.apply(pp, xp, mutable=["batch_stats"])[0]
+        return out[:, crop[0], crop[1]]
+
+    return (net,
+            lambda rng: net.init(rng, jnp.zeros((1, 32, 32, in_dim))),
+            apply)
+
+
 def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
-                             mlp_width=256, mlp_depth=8, uni_mode="random"):
+                             mlp_width=256, mlp_depth=8, uni_mode="random",
+                             net_type="mlp"):
     """Jitted step for category-level training: (params, vf, opt_state,
     batch, rng) -> updated. Loss: 100-smooth-l1 on covered pixels
-    (`train_mlp.py:273-278` uses plain smooth_l1; weight per
-    `neural_render.py:152`)."""
+    (`train_mlp.py:273-278` / `train_unet.py:245-247` use plain
+    smooth_l1; weight per `neural_render.py:152`). net_type 'mlp' or
+    'unet' (`train_unet.py:200-257`)."""
     pe = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
-    net = RenderMLP(width=mlp_width, depth=mlp_depth)
+    net, net_init, net_apply = _make_net(
+        net_type, pe, feat_dim, mlp_width, mlp_depth)
     opt = optax.adam(lr)
 
     def init(rng):
-        in_dim = pe.embedding_size * 3 + 3 + feat_dim
-        net_params = net.init(rng, jnp.zeros((1, in_dim)))
+        net_params = net_init(rng)
         vf = jnp.zeros((NUM_VERTS, feat_dim))
         params = {"net": net_params, "vf": vf}
         return params, opt.init(params)
@@ -157,7 +188,7 @@ def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
         # per-sample meshes differ -> vmap the single-view forward
         def one(img, ray, w2c, proj, verts, albedo, r):
             pred, masks = neural_forward(
-                lambda pp, x: net.apply(pp, x), p["net"], pe,
+                net_apply, p["net"], pe,
                 ray[None], w2c[None], proj[None], verts,
                 batch["faces"], albedo, p["vf"], resolution, r,
                 uni_mode=uni_mode,
@@ -179,4 +210,50 @@ def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
         upd, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(params, upd), opt_state, loss
 
-    return init, step, (net, pe)
+    return init, step, (net, pe, net_apply)
+
+
+def category_eval(dataset, params, resolution, net_type="mlp", feat_dim=20,
+                  mlp_width=256, mlp_depth=8, n_samples=10, seed=0,
+                  out_dir=None, uni_mode="random"):
+    """Render `n_samples` random dataset entries with the frozen category
+    renderer; returns mean metrics and writes pngs when out_dir is set.
+
+    Parity: `train_mlp.py:286-320` / `train_unet.py:259-310` (random
+    train-set indices, masked reference-PSNR + SSIM, per-image pngs).
+    """
+    from ..utils.metrics import psnr_reference, ssim
+
+    pe = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
+    _, _, net_apply = _make_net(net_type, pe, feat_dim, mlp_width, mlp_depth)
+
+    @jax.jit
+    def render_one(net_p, vf, ray, w2c, proj, verts, faces, albedo, rng):
+        return neural_forward(
+            net_apply, net_p, pe, ray[None], w2c[None], proj[None],
+            verts, faces, albedo, vf, resolution, rng, uni_mode=uni_mode)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    psnrs, ssims = [], []
+    for i in range(n_samples):
+        idx = int(rng.integers(0, len(dataset)))
+        s = dataset.load(idx)
+        key, sub = jax.random.split(key)
+        pred, masks = render_one(
+            params["net"], params["vf"], jnp.asarray(s["ray"]),
+            jnp.asarray(s["w2c"]), jnp.asarray(s["proj"]),
+            jnp.asarray(s["vertices"]), jnp.asarray(s["faces"]),
+            jnp.asarray(s["albedo"]), sub)
+        m = np.asarray(masks[0, ..., 0])
+        pr = np.asarray(pred[0]) * m[..., None]
+        gt = np.asarray(s["img"]) * m[..., None]
+        psnrs.append(psnr_reference(gt, pr, m[..., None]))
+        ssims.append(ssim(gt, pr))
+        if out_dir is not None:
+            import cv2
+
+            os.makedirs(out_dir, exist_ok=True)
+            cv2.imwrite(join(out_dir, f"{i}.png"),
+                        (pr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+    return dict(psnr=float(np.mean(psnrs)), ssim=float(np.mean(ssims)))
