@@ -106,7 +106,10 @@ def main() -> None:
     _, rows_budget = audit_deferred_rows(
         project_verts(verts0, w2cs, projs), faces_j, (H, W))
 
-    def loss_fn(params):
+    # imgs/masks are step ARGUMENTS, not closure constants: baking ~44MB
+    # of pixel data into the program bloats the executable the tunneled
+    # backend must ship and has crashed large compiles outright.
+    def loss_fn(params, imgs, masks):
         v = verts0 + params["delta"]
         clip = project_verts(v, w2cs, projs)
         normals = vertex_normals(v, faces_j)
@@ -128,8 +131,8 @@ def main() -> None:
         )
 
     @jax.jit
-    def step(params, state):
-        loss, g = jax.value_and_grad(loss_fn)(params)
+    def step(params, state, imgs, masks):
+        loss, g = jax.value_and_grad(loss_fn)(params, imgs, masks)
         upd, state = opt.update(g, state)
         return optax.apply_updates(params, upd), state, loss
 
@@ -143,16 +146,16 @@ def main() -> None:
     # Stage the compiles: value_and_grad alone first, then the full step.
     # The tunneled remote compiler is markedly more reliable when the large
     # program arrives after its main subgraph has been compiled once.
-    l, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+    l, g = jax.jit(jax.value_and_grad(loss_fn))(params, imgs, masks)
     jax.block_until_ready(l)
 
     # warmup / compile
-    params, state, loss = step(params, state)
+    params, state, loss = step(params, state, imgs, masks)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, state, loss = step(params, state)
+        params, state, loss = step(params, state, imgs, masks)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
 

@@ -252,3 +252,46 @@ def load_interhand_eval_views(
 
     return (np.stack(imgs), np.stack(w2cs), np.stack(projs),
             np.stack(rays) if return_ray else None, camera_names, img_name)
+
+
+def load_dhm_views(
+    data_path: str,
+    scan_id: int,
+    cam_json: str,
+    res=(334, 512),
+    data_name: str = "0003_fake_gun",
+    capture_name: str = "subject_4",
+    cam_key: str = "0",
+):
+    """DeepHandMesh-layout views for the multihands orchestrator.
+
+    Parity: `multihands_mano.py:142-205` (get_dhm_data): images under
+    `<root>/images/<capture>/<data>/<cam>/`, cameras from an
+    InterHand-format camera JSON. The reference hardcodes a private
+    absolute path to that JSON (`multihands_mano.py:144`); here it is the
+    explicit `cam_json` argument. Returns (imgs, grayimgs, w2cs, projs,
+    camera_names, img_name).
+    """
+    import cv2
+
+    with open(cam_json) as f:
+        cam_param = json.load(f)[cam_key]
+
+    seq_dir = join(data_path, "images", capture_name, data_name)
+    camera_names = sorted(os.listdir(seq_dir))
+    img_name = sorted(os.listdir(join(seq_dir, camera_names[0])))[scan_id]
+
+    W, H = res
+    imgs, grays, w2cs, projs = [], [], [], []
+    for cam_name in camera_names:
+        cam_idx = cam_name.replace("cam", "")
+        w2c_T, proj_T = interhand_camera(cam_param, cam_idx, res)
+        w2cs.append(w2c_T)
+        projs.append(proj_T)
+        img = cv2.imread(join(seq_dir, cam_name, img_name))
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        imgs.append((cv2.resize(img, (W, H)) / 255.0).astype(np.float32))
+        grays.append((cv2.resize(gray, (W, H)) / 255.0).astype(np.float32))
+
+    return (np.stack(imgs), np.stack(grays), np.stack(w2cs),
+            np.stack(projs), camera_names, img_name)

@@ -43,16 +43,15 @@ def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
     left+right pair, matching the reference's two-hand workloads
     (`/root/reference/mano_optim.py:320-322` face fusion).
     """
-    import jax.numpy as jnp
-    from ..body import synthetic_hand_model, mano_forward
+    from ..body import synthetic_hand_model
     from ..core.subdivision import loop_subdivide_iter
 
     m = synthetic_hand_model()
-    verts, _ = mano_forward(
-        m, jnp.zeros((1, 3)), jnp.zeros((1, 45)), jnp.zeros((1, 10)),
-        apply_pose_blend=False,
-    )
-    verts = np.asarray(verts[0] * 0.45)
+    # Rest pose with zero shape and no pose blend is exactly v_template
+    # (identity joint transforms) — computing it on host avoids paying a
+    # device compile just to build a benchmark scene (60s+ first-op on
+    # tunneled TPU backends). tests/test_core.py pins this equivalence.
+    verts = np.asarray(m.v_template, np.float32) * 0.45
     faces = np.asarray(m.faces)
     if subdiv:
         verts, faces = loop_subdivide_iter(verts, faces, subdiv)

