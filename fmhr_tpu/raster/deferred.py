@@ -4,21 +4,30 @@ pixel from one Pallas pass, with a matmul-reduction custom_vjp backward.
 Why: the reference's hot loop (`/root/reference/mesh_sfs_optim.py:246-318`)
 is rasterize -> interpolate -> antialias fwd+bwd over all pixels. The
 round-1 TPU port paid ~10 ms per [B, H, W]-indexed XLA gather forward and
-an XLA scatter-add transpose backward. This module removes both:
+an XLA scatter-add transpose backward. This module removes both, and —
+unlike the first deferred design, which materialised a sorted per-
+(tile, face) record stream via an XLA row gather (measured ~100 ms at
+production density) and reduced gradients back to faces via segment_sum
+(~220 ms) — it streams the FACE TABLE itself:
 
-- Forward: a Pallas kernel streams each tile's binned triangle records
-  (12 clip coords, face id, 3 AA edge ids, 3xC attributes) from HBM with
-  double-buffered DMA, depth-tests them against the tile's pixels, and
-  keeps the WINNER's whole record in VMEM registers. Its outputs are the
-  per-pixel record components -- the downstream barycentric/interpolation/
-  antialias math is plain fused elementwise XLA with no gathers at all.
-- Backward: gradients w.r.t. the per-pixel components reduce to
-  per-record sums over the pixels each record won. Per tile that is a
-  one-hot matmul on the MXU (g_rec[k,:] = onehot(slot==k) @ g_pix),
-  written to disjoint aligned HBM rows; records then reduce to faces by
-  a small segment-sum and faces to vertices/attributes by a STATIC
-  vertex->(face, corner) incidence gather. No scatter-adds anywhere on
-  the pixel-sized path.
+- The per-view face table ([nc, rec, 128]: 128 faces per chunk,
+  chunk-transposed so each DMA is a perfectly tiled [rec, 128] block)
+  holds 12 clip coords, face id, 3 AA edge ids and 3xC attributes.
+- Binning happens at CHUNK granularity: tile t's work list is the set of
+  128-face chunks containing >=1 face whose bbox touches t. Mesh face
+  order is spatially coherent (subdivision order), so this costs only
+  ~1.4x the ideal record count at production density — and there is
+  nothing to gather: the forward kernel DMAs table chunks directly,
+  depth-tests all 128 faces against the tile (coverage masks the
+  non-touching ones exactly), and keeps the winner's whole record via a
+  one-hot MXU matmul. Downstream barycentric/interpolation/antialias math
+  is plain fused elementwise XLA with no gathers at all.
+- Backward: per tile, gradients w.r.t. the winner components reduce to
+  per-face sums over won pixels = one-hot matmuls accumulated (read-
+  modify-write over the sequential grid) DIRECTLY into face-table layout
+  [rec, F]. No scatter-adds and no segment reduction anywhere on the
+  pixel-sized path; faces reduce to vertices/attributes by a STATIC
+  vertex->(face, corner) incidence gather.
 
 Semantics match raster/api.py (nvdiffrast conventions: ids 1-based, 0 =
 background, `rast = (u, v, z/w, id)`), verified against the naive oracle
@@ -38,12 +47,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .geometry import W_EPS, AREA_EPS
-from .visibility import _face_tile_ranges
 
 TILE_H = 8
 TILE_W = 128
 _PIX = TILE_H * TILE_W
 _BIG = np.float32(3.0e38)
+_CHUNK = 128  # faces per table chunk (lane dim)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -98,108 +107,118 @@ def default_max_span(F: int, H: int, W: int) -> int:
     return 4 if F * 16 > H * W else 8
 
 
-def _plan(F, V, C, H, W, max_span, global_cap, rows_budget=None):
+def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None):
     """Static layout plan shared by fwd/bwd.
 
-    The record stream is COMPACT: the sorted (tile, face) pairs are kept
-    exactly as the sort produces them, with per-tile [start, end) ranges
-    that need not be chunk-aligned. The kernels mask lanes outside the
-    range, so no row expansion (and no per-tile bin capacity) is needed.
-
-    rows_budget bounds the LIVE (tile, face) pair count per view. The
-    default F * max_span is lossless; a probed budget (see
-    `audit_deferred_rows`) shrinks record materialisation to ~the live
-    pair count. If live pairs exceed the budget the highest-index tiles
-    lose records — size with margin via the audit.
+    The work lists are COMPACT (tile, chunk) pairs sorted by tile with
+    per-tile [start, end) ranges; the chunk ids live in SMEM during the
+    kernels. pairs_budget bounds the live pair count per view (probe it
+    with `audit_deferred_rows`); if live pairs exceed the budget the
+    highest-index tiles lose chunks — size with margin via the audit.
+    global_cap bounds the per-view count of GLOBAL chunks (chunks holding
+    >=1 face whose tile span exceeds max_span; those are tested by every
+    tile, so their faces are excluded from per-tile lists).
     """
     tiles_y = math.ceil(H / TILE_H)
     tiles_x = math.ceil(W / TILE_W)
     T = tiles_y * tiles_x
     r_used = 16 + 3 * C       # 12 coords, id, 3 eids, 3xC attrs
-    # Records are stored chunk-transposed [n_chunks, rec, 128] so every
-    # DMA is a perfectly tiled [rec, 128] block and record components
-    # broadcast as [1, K] rows inside the kernel.
     rec = _round_up(r_used, 8)
-    chunk = 128               # records per kernel chunk (lane dim)
-    g_pad = _round_up(global_cap, chunk)
-    lossless = F * max_span
-    live_cap = lossless if rows_budget is None else min(
-        lossless, int(rows_budget))
-    live_cap = max(live_cap, chunk)
-    rows_main = _round_up(live_cap, chunk)
-    rows = rows_main + g_pad
-    rg = _round_up(r_used, 8)
+    nc = max(1, math.ceil(F / _CHUNK))
+    Fpad = nc * _CHUNK
+    lossless = min(F * max_span, T * nc)
+    cap = lossless if pairs_budget is None else min(lossless,
+                                                   int(pairs_budget))
+    # SMEM resident during the kernels: keep it a few KB.
+    pair_cap = _round_up(min(max(cap, _CHUNK), 8192), _CHUNK)
+    g_pad = _round_up(global_cap, 8)
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
-                rec=rec, chunk=chunk, g_pad=g_pad, live_cap=live_cap,
-                rows_main=rows_main, rows=rows, rg=rg,
+                rec=rec, nc=nc, Fpad=Fpad, pair_cap=pair_cap,
+                g_cap=global_cap, g_pad=g_pad,
                 Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
 
 
 # --------------------------------------------------------------------------
-# Per-view record build (pure XLA, non-differentiable structure)
+# Per-view work-list build (pure XLA, non-differentiable structure)
 # --------------------------------------------------------------------------
 
-def _build_view(tri, attr_f, eids_f, p, *, H, W, max_span, global_cap):
-    """tri [F, 3, 4], attr_f [F, 3C] for ONE view -> compact record stream.
+def _tile_ranges_t(sx, sy, w, p, H, W):
+    """Per-face tile bbox from TRANSPOSED screen coords.
 
-    Returns (records [rows, rec] f32, face_of_row [rows] int32 (F = dead),
-    starts [T], ends [T], g_count scalar). starts/ends index the compact
-    sorted stream and are NOT chunk-aligned; the kernels mask.
+    sx/sy/w: [3, F] for one view. Same semantics as
+    visibility._face_tile_ranges but without needing [F, 3, 4] tri.
     """
-    F = tri.shape[0]
-    T = p["T"]
+    in_front = jnp.all(w > W_EPS, axis=0)
+    x_pix = (sx + 1.0) * (W * 0.5)
+    y_pix = (sy + 1.0) * (H * 0.5)
+    xmin = jnp.clip(jnp.floor(jnp.min(x_pix, 0)), 0, W - 1)
+    xmax = jnp.clip(jnp.ceil(jnp.max(x_pix, 0)), 0, W - 1)
+    ymin = jnp.clip(jnp.floor(jnp.min(y_pix, 0)), 0, H - 1)
+    ymax = jnp.clip(jnp.ceil(jnp.max(y_pix, 0)), 0, H - 1)
+    offscreen = (
+        (jnp.max(x_pix, 0) < 0) | (jnp.min(x_pix, 0) >= W)
+        | (jnp.max(y_pix, 0) < 0) | (jnp.min(y_pix, 0) >= H)
+    )
+    valid = in_front & ~offscreen
+    tx0 = (xmin // TILE_W).astype(jnp.int32)
+    tx1 = (xmax // TILE_W).astype(jnp.int32)
+    ty0 = (ymin // TILE_H).astype(jnp.int32)
+    ty1 = (ymax // TILE_H).astype(jnp.int32)
+    span_x = jnp.where(valid, tx1 - tx0 + 1, 0)
+    span_y = jnp.where(valid, ty1 - ty0 + 1, 0)
+    return tx0, ty0, span_x, span_y, valid
+
+
+def _build_lists(sx, sy, w, p, *, H, W, max_span):
+    """One view's (tile, chunk) work lists from [3, F] screen coords.
+
+    Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
+    g_list [g_pad] int32, g_cnt scalar int32).
+    """
+    F = sx.shape[1]
+    T, nc = p["T"], p["nc"]
     S = max_span
-    tx0, ty0, span_x, span_y, valid = _face_tile_ranges(
-        tri, TILE_H, TILE_W, p["tiles_y"], p["tiles_x"], H, W)
+    tx0, ty0, span_x, span_y, valid = _tile_ranges_t(sx, sy, w, p, H, W)
     n_tiles = span_x * span_y
-    small = valid & (n_tiles <= S)
     big = valid & (n_tiles > S)
+
+    # chunks holding any big face go global; ALL their faces drop out of
+    # per-tile emission (each global chunk is tested by every tile)
+    pad = p["Fpad"] - F
+    bigp = jnp.pad(big, (0, pad)) if pad else big
+    g_mask = jnp.any(bigp.reshape(nc, _CHUNK), axis=1)          # [nc]
+    in_gchunk = jnp.broadcast_to(g_mask[:, None],
+                                 (nc, _CHUNK)).reshape(-1)[:F]
+    emit = valid & (n_tiles <= S) & ~in_gchunk
 
     slots = jnp.arange(S, dtype=jnp.int32)
     dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
     dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
-    live = small[:, None] & (slots[None, :] < n_tiles[:, None])
+    live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
     tile = (ty0[:, None] + dy) * p["tiles_x"] + (tx0[:, None] + dx)
-    tile = jnp.where(live, tile, T)
-    face = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[:, None], tile.shape)
-    keys, vals = jax.lax.sort_key_val(
-        tile.reshape(-1), face.reshape(-1), is_stable=True)
+    chunk = jnp.arange(F, dtype=jnp.int32)[:, None] // _CHUNK
+    dead = T * nc
+    key = jnp.where(live, tile * nc + chunk, dead)
+
+    key = jax.lax.sort(key.reshape(-1))
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        key[1:] != key[:-1],
+    ]) & (key < dead)
+    key = jax.lax.sort(jnp.where(first, key, dead))[:p["pair_cap"]]
 
     t_ar = jnp.arange(T, dtype=jnp.int32)
-    live_cap = p["live_cap"]
-    starts = jnp.minimum(
-        jnp.searchsorted(keys, t_ar, side="left"), live_cap).astype(jnp.int32)
-    ends = jnp.minimum(
-        jnp.searchsorted(keys, t_ar, side="right"), live_cap).astype(jnp.int32)
+    tile_of = key // nc
+    starts = jnp.searchsorted(tile_of, t_ar, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_of, t_ar, side="right").astype(jnp.int32)
+    chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
 
-    keys = keys[:live_cap]
-    vals = vals[:live_cap]
-    face_of = jnp.where(keys < T, vals, F)
-    face_of = jnp.pad(face_of, (0, p["rows_main"] - keys.shape[0]),
-                      constant_values=F)
-
-    # global (oversized) faces
-    g_idx = jnp.nonzero(big, size=global_cap, fill_value=-1)[0].astype(jnp.int32)
-    g_count = jnp.sum((g_idx >= 0).astype(jnp.int32))
-    g_face = jnp.where(g_idx >= 0, g_idx, F)
-    g_face = jnp.pad(g_face, (0, p["g_pad"] - global_cap), constant_values=F)
-
-    face_of_row = jnp.concatenate([face_of, g_face])
-
-    # face record table [F+1, rec]; sentinel row: id 0, w = -1 (never covers)
-    ids_col = jnp.arange(1, F + 1, dtype=jnp.float32)[:, None]
-    cols = jnp.concatenate(
-        [tri.reshape(F, 12), ids_col, eids_f, attr_f], axis=1)
-    pad = p["rec"] - cols.shape[1]
-    if pad:
-        cols = jnp.pad(cols, ((0, 0), (0, pad)))
-    sent = jnp.zeros((1, p["rec"]), cols.dtype)
-    sent = sent.at[0, 3].set(-1.0).at[0, 7].set(-1.0).at[0, 11].set(-1.0)
-    table = jnp.concatenate([cols, sent], axis=0)
-
-    records = table[face_of_row]
-    return records, face_of_row, starts, ends, g_count
+    g_idx = jnp.nonzero(g_mask, size=p["g_cap"],
+                        fill_value=0)[0].astype(jnp.int32)
+    g_cnt = jnp.sum(g_mask.astype(jnp.int32))
+    g_cnt = jnp.minimum(g_cnt, p["g_cap"])
+    g_list = jnp.pad(g_idx, (0, p["g_pad"] - p["g_cap"]))
+    return chunk_list, starts, ends, g_list, g_cnt
 
 
 # --------------------------------------------------------------------------
@@ -207,24 +226,26 @@ def _build_view(tri, attr_f, eids_f, p, *, H, W, max_span, global_cap):
 # --------------------------------------------------------------------------
 
 def _make_fwd_kernel(p, H, W):
-    """[pixels, records] = [1024, 128] block-vectorized visibility.
+    """[pixels, faces] = [1024, 128] block-vectorized visibility.
 
-    Records arrive chunk-transposed ([rec, 128] VMEM blocks): each record
-    component is a [1, K] lane row broadcast against [P, 1] pixel columns,
-    so the coverage/depth math runs on full-width VPU tiles with no scalar
-    loads. The winner's record columns are extracted per chunk by a
-    one-hot matmul on the MXU instead of per-record selects.
+    Table chunks arrive chunk-transposed ([rec, 128] VMEM blocks): each
+    record component is a [1, K] lane row broadcast against [P, 1] pixel
+    columns, so the coverage/depth math runs on full-width VPU tiles with
+    no scalar loads. The winner's record columns are extracted per chunk
+    by a one-hot matmul on the MXU instead of per-record selects. The
+    winning slot IS the face index (chunk*128 + lane).
     """
-    chunk, rec = p["chunk"], p["rec"]
-    rows, rows_main = p["rows"], p["rows_main"]
+    rec = p["rec"]
+    nc = p["nc"]
     tiles_x = p["tiles_x"]
     inv_w2 = np.float32(2.0 / W)
     inv_h2 = np.float32(2.0 / H)
-    K = chunk
+    K = _CHUNK
 
-    def kernel(meta_ref, rec_hbm, outf_ref, slot_ref):
+    def kernel(meta_ref, list_ref, glob_ref, tab_hbm, outf_ref, slot_ref):
         # meta_ref [1,1,1,4] SMEM: start, end, g_count
-        # rec_hbm [B*rows/128, rec, 128] f32 (ANY/HBM, chunk-transposed)
+        # list_ref [1, 1, pair_cap] SMEM int32; glob_ref [1, 1, g_pad] SMEM
+        # tab_hbm [B, nc, rec, 128] f32 (ANY/HBM, chunk-transposed)
         # outf_ref [1,1,P,rec] VMEM; slot_ref [1,1,P,1] VMEM int32
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -241,21 +262,17 @@ def _make_fwd_kernel(p, H, W):
         start = meta_ref[0, 0, 0, 0]
         end = meta_ref[0, 0, 0, 1]
         gcnt = meta_ref[0, 0, 0, 2]
-        c0 = start // K
-        n_main = jnp.where(end > start, (end + (K - 1)) // K - c0, 0)
-        n_glob = (gcnt + (K - 1)) // K
-        n_total = n_main + n_glob
-        base = b * (rows // K)
-        gbase = rows_main // K
+        n_main = end - start
+        n_total = n_main + gcnt
 
         def chunk_of(ci):
-            return base + jnp.where(ci < n_main, c0 + ci,
-                                    gbase + (ci - n_main))
+            return jnp.where(ci < n_main, list_ref[0, 0, start + ci],
+                             glob_ref[0, 0, jnp.maximum(ci - n_main, 0)])
 
         def body(tri_buf, sems):
             def dma(slot_i, ci):
                 return pltpu.make_async_copy(
-                    rec_hbm.at[chunk_of(ci)],
+                    tab_hbm.at[b, chunk_of(ci)],
                     tri_buf.at[slot_i],
                     sems.at[slot_i],
                 )
@@ -278,12 +295,6 @@ def _make_fwd_kernel(p, H, W):
                 r = lambda i: tri_c[i:i + 1, :]      # [1, K]
                 face_id = r(12)
                 k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-                rel = chunk_of(ci) - base
-                ridx = rel * K + k_iota              # record idx in view
-                # select between i1 vectors is illegal in Mosaic; use i32
-                main_m = ((ridx >= start) & (ridx < end)).astype(jnp.int32)
-                glob_m = ((ridx - rows_main) < gcnt).astype(jnp.int32)
-                lane_live = jnp.where(ci < n_main, main_m, glob_m) > 0
                 x0, y0, z0, w0 = r(0), r(1), r(2), r(3)
                 x1, y1, z1, w1 = r(4), r(5), r(6), r(7)
                 x2, y2, z2, w2 = r(8), r(9), r(10), r(11)
@@ -295,13 +306,13 @@ def _make_fwd_kernel(p, H, W):
                 sx2, sy2 = x2 * iw2, y2 * iw2
                 d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
                 sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
-                inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
-                ok = (lane_live & (face_id > 0.0)
+                ok = ((face_id > 0.0)
                       & (jnp.abs(d) > AREA_EPS)
                       & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS))
                 zf = z0 * iw0, z1 * iw1, z2 * iw2    # [1, K] each
+                inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
 
-                # [P, K] pixel x record math
+                # [P, K] pixel x face math
                 l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
                 l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
                 l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
@@ -310,7 +321,7 @@ def _make_fwd_kernel(p, H, W):
                 zw = (l0 * zf[0] + l1 * zf[1] + l2 * zf[2]) * inv_d
                 zw = jnp.where(cov, zw, _BIG)
 
-                # lane argmin (first minimum = lowest face id in the bin)
+                # lane argmin (first minimum = lowest face id in the chunk)
                 zmin = jnp.min(zw, axis=1, keepdims=True)        # [P, 1]
                 kmin = jnp.min(
                     jnp.where(zw <= zmin, k_iota, K), axis=1,
@@ -318,15 +329,18 @@ def _make_fwd_kernel(p, H, W):
 
                 better = zmin < zbest
                 zbest = jnp.where(better, zmin, zbest)
-                slot0 = (chunk_of(ci) - base) * K
-                slotbest = jnp.where(better, slot0 + kmin, slotbest)
+                slotbest = jnp.where(better, chunk_of(ci) * K + kmin,
+                                     slotbest)
 
                 # extract winner columns for pixels won by THIS chunk
                 onehot = (kmin == k_iota).astype(jnp.float32)     # [P, K]
+                # HIGHEST: default TPU matmul precision is bf16, which
+                # rounds face/edge ids > 256 to even and quantizes coords
                 new_comp = jax.lax.dot_general(
                     onehot, tri_c,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )                                                 # [P, rec]
                 comp = jnp.where(better, new_comp, comp)
                 return zbest, slotbest, comp
@@ -355,52 +369,52 @@ def _make_fwd_kernel(p, H, W):
 # --------------------------------------------------------------------------
 
 def _make_bwd_kernel(p):
-    """Per-tile grad reduction: g_rec[:, k] = sum_p onehot(slot_p==k) g[:, p].
+    """Per-tile grad reduction straight into face-table layout:
+    g_tab[:, f] += sum_p onehot(slot_p == f) g[:, p] over the tile's
+    chunks.
 
-    The record stream is compact, so consecutive tiles can share a
-    boundary chunk (and every tile touches the same global-face chunks).
-    The kernel therefore ACCUMULATES: read chunk, add this tile's one-hot
-    matmul contribution, write back. TPU grid steps execute sequentially
-    and all in-flight stores are drained before the kernel body returns,
-    so the read-modify-write is race-free; gpairs is zero-initialised via
-    input/output aliasing.
+    Chunks are shared between tiles (and global chunks by ALL tiles), so
+    the kernel ACCUMULATES: read chunk gradient block, add this tile's
+    one-hot matmul contribution, write back. TPU grid steps execute
+    sequentially and all in-flight stores are drained before the kernel
+    body returns, so the read-modify-write is race-free; g_tab is
+    zero-initialised via input/output aliasing.
     """
-    rg, rows, rows_main = p["rg"], p["rows"], p["rows_main"]
-    K = p["chunk"]
+    rec, nc = p["rec"], p["nc"]
+    K = _CHUNK
 
-    def kernel(meta_ref, slot_ref, g_ref, zeros_ref, gpairs_hbm, stage_in,
-               stage_out, sems_r, sems_w):
+    def kernel(meta_ref, list_ref, glob_ref, slot_ref, g_ref, zeros_ref,
+               gtab_hbm, stage_in, stage_out, sems_r, sems_w):
         # meta [1,1,1,4] SMEM: start, end, g_count
-        # slot_ref [1,1,P,1] int32; g_ref [1,1,rg,P] f32
-        # zeros_ref: aliased input view of gpairs_hbm (unused directly)
-        # gpairs_hbm [B, rg, rows] ANY (zero-initialised via aliasing)
-        # stage_in/stage_out: VMEM (2, rg, K) DMA staging
+        # list_ref [1, 1, pair_cap] SMEM; glob_ref [1, 1, g_pad] SMEM
+        # slot_ref [1,1,P,1] int32; g_ref [1,1,rec,P] f32
+        # zeros_ref: aliased input view of gtab_hbm (unused directly)
+        # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
+        # stage_in/stage_out: VMEM (2, rec, K) DMA staging
         del zeros_ref
         b = pl.program_id(0)
         start = meta_ref[0, 0, 0, 0]
         end = meta_ref[0, 0, 0, 1]
         gcnt = meta_ref[0, 0, 0, 2]
-        c0 = start // K
-        n_main = jnp.where(end > start, (end + (K - 1)) // K - c0, 0)
-        n_glob = (gcnt + (K - 1)) // K
-        n_iter = n_main + n_glob
-        gbase = rows_main // K
+        n_main = end - start
+        n_iter = n_main + gcnt
         slot_col = slot_ref[0, 0]          # [P, 1] int32
-        g_mat = g_ref[0, 0]                # [rg, P] f32
+        g_mat = g_ref[0, 0]                # [rec, P] f32
 
         def chunk_of(ci):
-            return jnp.where(ci < n_main, c0 + ci, gbase + (ci - n_main))
+            return jnp.where(ci < n_main, list_ref[0, 0, start + ci],
+                             glob_ref[0, 0, jnp.maximum(ci - n_main, 0)])
 
         def rd(sl, ci):
             k0 = pl.multiple_of(chunk_of(ci) * K, K)
             return pltpu.make_async_copy(
-                gpairs_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
+                gtab_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
                 sems_r.at[sl])
 
         def wr(sl, ci):
             k0 = pl.multiple_of(chunk_of(ci) * K, K)
             return pltpu.make_async_copy(
-                stage_out.at[sl], gpairs_hbm.at[b, :, pl.ds(k0, K)],
+                stage_out.at[sl], gtab_hbm.at[b, :, pl.ds(k0, K)],
                 sems_w.at[sl])
 
         @pl.when(n_iter > 0)
@@ -421,7 +435,8 @@ def _make_bwd_kernel(p):
                 g_mat, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [rg, K]
+                precision=jax.lax.Precision.HIGHEST,  # bf16 quantizes grads
+            )  # [rec, K]
             rd(sl, ci).wait()
             # wait for the store that used this staging slot two iters ago
             @pl.when(ci >= 2)
@@ -481,43 +496,57 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     eids_np = np.asarray(topo.face_edge_ids, np.float32)
     inc_np = topo.vert_incidence
     tiles_y, tiles_x, T = p["tiles_y"], p["tiles_x"], p["T"]
-    r_used, rows, rg = p["r_used"], p["rows"], p["rg"]
+    r_used, rec, nc, Fpad = p["r_used"], p["rec"], p["nc"], p["Fpad"]
     Hp, Wp = p["Hp"], p["Wp"]
+    K = _CHUNK
 
     def _fwd_impl(clip, attr):
         B = clip.shape[0]
-        eids_f = jnp.asarray(eids_np)
         faces_flat = jnp.asarray(faces_np.reshape(-1))   # [3F]
         # B-independent corner gather: ONE [V, B*4]-table row-gather of 3F
         # rows instead of B*3F gathered rows (gather cost scales with row
-        # count, not row width).
+        # count, not row width), straight into TRANSPOSED table layout.
         clip_t = clip.transpose(1, 0, 2).reshape(V, B * 4)
-        tri_flat = clip_t[faces_flat]                    # [3F, B*4]
-        tri = tri_flat.reshape(F, 3, B, 4).transpose(2, 0, 1, 3)
+        tri_flat = clip_t[faces_flat].reshape(F, 3, B, 4)
+        coords_t = tri_flat.transpose(2, 1, 3, 0).reshape(B, 12, F)
         if shared_attr:
-            attr_f = attr[faces_flat].reshape(F, 3 * C)  # static, no B
-            attr_fb = jnp.broadcast_to(attr_f[None], (B, F, 3 * C))
+            at_f = attr[faces_flat].reshape(F, 3, C)     # static, no B
+            attr_t = jnp.broadcast_to(
+                at_f.transpose(1, 2, 0).reshape(1, 3 * C, F),
+                (B, 3 * C, F))
         else:
             at = attr.transpose(1, 0, 2).reshape(V, B * C)
-            af = at[faces_flat]                          # [3F, B*C]
-            attr_fb = af.reshape(F, 3, B, C).transpose(
-                2, 0, 1, 3).reshape(B, F, 3 * C)
-        records, face_of_row, starts, ends, g_count = jax.vmap(
-            lambda t, a: _build_view(
-                t, a, eids_f, p, H=H, W=W,
-                max_span=max_span, global_cap=global_cap)
-        )(tri, attr_fb)
+            af = at[faces_flat].reshape(F, 3, B, C)
+            attr_t = af.transpose(2, 1, 3, 0).reshape(B, 3 * C, F)
+
+        ids_row = jnp.broadcast_to(
+            jnp.arange(1, F + 1, dtype=jnp.float32)[None, None, :],
+            (B, 1, F))
+        eids_row = jnp.broadcast_to(
+            jnp.asarray(eids_np.T)[None], (B, 3, F))
+        table_t = jnp.concatenate([coords_t, ids_row, eids_row, attr_t],
+                                  axis=1)                # [B, r_used, F]
+        table_t = jnp.pad(
+            table_t, ((0, 0), (0, rec - r_used), (0, Fpad - F)))
+        # [B, rec, Fpad] -> [B, nc, rec, 128]
+        tab = table_t.reshape(B, rec, nc, K).transpose(0, 2, 1, 3)
+
+        # work lists from the transposed coords (screen xy + w rows)
+        w_rows = coords_t[:, 3::4]                       # [B, 3, F]
+        iw = 1.0 / jnp.where(jnp.abs(w_rows) > W_EPS, w_rows, W_EPS)
+        sx_rows = coords_t[:, 0::4] * iw
+        sy_rows = coords_t[:, 1::4] * iw
+        chunk_list, starts, ends, g_list, g_cnt = jax.vmap(
+            lambda sx, sy, w: _build_lists(
+                sx, sy, w, p, H=H, W=W, max_span=max_span)
+        )(sx_rows, sy_rows, w_rows)
 
         meta = jnp.stack(
             [starts, ends,
-             jnp.broadcast_to(g_count[:, None], (B, T)),
+             jnp.broadcast_to(g_cnt[:, None], (B, T)),
              jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
         meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
 
-        # chunk-transposed record stream: [B*rows/K, rec, K]
-        K = p["chunk"]
-        rec_t = records.reshape(B * (rows // K), K, p["rec"]).transpose(
-            0, 2, 1)
         kernel = _make_fwd_kernel(p, H, W)
         outf, slot = pl.pallas_call(
             kernel,
@@ -525,10 +554,15 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, p["pair_cap"]),
+                             lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, p["g_pad"]), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, _PIX, p["rec"]),
+                pl.BlockSpec((1, 1, _PIX, rec),
                              lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, _PIX, 1),
@@ -536,11 +570,11 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, T, _PIX, p["rec"]), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, _PIX, rec), jnp.float32),
                 jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(meta, rec_t)
+        )(meta, chunk_list[:, None], g_list[:, None], tab)
 
         # [B, T, P, rec] -> [r_used, B, H, W]
         comp = outf[..., :r_used].reshape(
@@ -548,76 +582,82 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         comp = comp.transpose(5, 0, 1, 3, 2, 4).reshape(r_used, B, Hp, Wp)
         comp = comp[:, :, :H, :W]
         ids = jnp.round(comp[12]).astype(jnp.int32)
-        return comp, ids, slot[..., 0], face_of_row, meta
+        return comp, ids, slot[..., 0], meta, chunk_list, g_list
 
     def core(clip, attr):
-        comp, ids, _, _, _ = _fwd_impl(clip, attr)
+        comp, ids, _, _, _, _ = _fwd_impl(clip, attr)
         return comp, ids
 
     def core_fwd(clip, attr):
-        comp, ids, slot, face_of_row, meta = _fwd_impl(clip, attr)
-        return (comp, ids), (slot, face_of_row, meta, clip.shape[0])
+        comp, ids, slot, meta, chunk_list, g_list = _fwd_impl(clip, attr)
+        return (comp, ids), (slot, meta, chunk_list, g_list, clip.shape[0])
 
     def core_bwd(res, cts):
         g_comp, _ = cts
-        slot, face_of_row, meta, B = res
+        slot, meta, chunk_list, g_list, B = res
 
-        # [r, B, H, W] -> [B, T, rg, P]
-        g = jnp.pad(g_comp, ((0, rg - r_used), (0, 0), (0, Hp - H),
+        # [r, B, H, W] -> [B, T, rec, P]
+        g = jnp.pad(g_comp, ((0, rec - r_used), (0, 0), (0, Hp - H),
                              (0, Wp - W)))
-        g = g.reshape(rg, B, tiles_y, TILE_H, tiles_x, TILE_W)
-        g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rg, _PIX)
+        g = g.reshape(rec, B, tiles_y, TILE_H, tiles_x, TILE_W)
+        g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rec, _PIX)
         slot_x = slot.reshape(B, T, _PIX, 1)
 
         kernel = _make_bwd_kernel(p)
-        zeros = jnp.zeros((B, rg, rows), jnp.float32)
-        gpairs = pl.pallas_call(
+        zeros = jnp.zeros((B, rec, Fpad), jnp.float32)
+        gtab = pl.pallas_call(
             kernel,
             grid=(B, T),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, p["pair_cap"]),
+                             lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, p["g_pad"]), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, rg, _PIX), lambda b, t: (b, t, 0, 0),
+                pl.BlockSpec((1, 1, rec, _PIX), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((B, rg, rows), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, rec, Fpad), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, rg, p["chunk"]), jnp.float32),
-                pltpu.VMEM((2, rg, p["chunk"]), jnp.float32),
+                pltpu.VMEM((2, rec, K), jnp.float32),
+                pltpu.VMEM((2, rec, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={3: 0},
+            input_output_aliases={5: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(meta, slot_x, g, zeros)
+        )(meta, chunk_list[:, None], g_list[:, None], slot_x, g, zeros)
 
-        g_rows = gpairs.transpose(0, 2, 1)            # [B, rows, rg]
+        inc_j = jnp.asarray(inc_np)                    # [V, D]
 
-        g_face = jax.vmap(
-            lambda d, i: jax.ops.segment_sum(d, i, num_segments=F + 1)
-        )(g_rows[..., :r_used], face_of_row)[:, :F]    # [B, F, r_used]
-
-        # coords -> vertices via static incidence gather
-        inc_j = jnp.asarray(inc_np)
-        g_coords = g_face[:, :, :12].reshape(B, F * 3, 4)
+        # coords: [B, 12, F] -> corner-major [3F, B*4], then ONE
+        # B-independent incidence gather (V*D rows, not B*V*D)
+        g_coords = gtab[:, :12, :F].reshape(B, 3, 4, F)
+        g_coords = g_coords.transpose(3, 1, 0, 2).reshape(F * 3, B * 4)
         g_coords = jnp.concatenate(
-            [g_coords, jnp.zeros((B, 1, 4), g_coords.dtype)], axis=1)
-        g_clip = g_coords[:, inc_j].sum(axis=2)        # [B, V, 4]
+            [g_coords, jnp.zeros((1, B * 4), g_coords.dtype)], axis=0)
+        g_clip = g_coords[inc_j].sum(axis=1)           # [V, B*4]
+        g_clip = g_clip.reshape(V, B, 4).transpose(1, 0, 2)
 
-        g_attr_f = g_face[:, :, 16:16 + 3 * C].reshape(B, F * 3, C)
+        g_attr_t = gtab[:, 16:16 + 3 * C, :F].reshape(B, 3, C, F)
         if shared_attr:
+            g_af = g_attr_t.sum(axis=0).transpose(2, 0, 1).reshape(F * 3, C)
             g_af = jnp.concatenate(
-                [g_attr_f.sum(axis=0), jnp.zeros((1, C), g_attr_f.dtype)])
+                [g_af, jnp.zeros((1, C), g_af.dtype)], axis=0)
             g_attr = g_af[inc_j].sum(axis=1)           # [V, C]
         else:
-            g_attr_f = jnp.concatenate(
-                [g_attr_f, jnp.zeros((B, 1, C), g_attr_f.dtype)], axis=1)
-            g_attr = g_attr_f[:, inc_j].sum(axis=2)    # [B, V, C]
+            g_af = g_attr_t.transpose(3, 1, 0, 2).reshape(F * 3, B * C)
+            g_af = jnp.concatenate(
+                [g_af, jnp.zeros((1, B * C), g_af.dtype)], axis=0)
+            g_attr = g_af[inc_j].sum(axis=1)           # [V, B*C]
+            g_attr = g_attr.reshape(V, B, C).transpose(1, 0, 2)
         return g_clip, g_attr
 
     core_vjp = jax.custom_vjp(core)
@@ -631,7 +671,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 # --------------------------------------------------------------------------
 
 def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
-    """Per-view live (tile, face) pair counts for sizing `rows_budget`.
+    """Per-view live (tile, chunk) pair counts for sizing `rows_budget`.
 
     clip [B, V, 4] (concrete); returns (live_counts [B] np, suggested
     budget int). Run once at scene setup; the budget is static thereafter.
@@ -640,20 +680,42 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
     F = int(faces.shape[0])
     if max_span is None:
         max_span = default_max_span(F, H, W)
-    tiles_y = math.ceil(H / TILE_H)
-    tiles_x = math.ceil(W / TILE_W)
+    p = _plan(F, 0, 0, H, W, max_span, 64)
+    nc, T = p["nc"], p["T"]
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def one(tri):
-        _, _, span_x, span_y, valid = _face_tile_ranges(
-            tri, TILE_H, TILE_W, tiles_y, tiles_x, H, W)
+        sx_ = tri[..., 0].T
+        sy_ = tri[..., 1].T
+        w_ = tri[..., 3].T
+        iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
+        sx_, sy_ = sx_ * iw, sy_ * iw
+        tx0, ty0, span_x, span_y, valid = _tile_ranges_t(
+            sx_, sy_, w_, p, H, W)
         n_tiles = span_x * span_y
-        small = valid & (n_tiles <= max_span)
-        return jnp.sum(jnp.where(small, n_tiles, 0))
+        big = valid & (n_tiles > max_span)
+        padF = p["Fpad"] - F
+        bigp = jnp.pad(big, (0, padF)) if padF else big
+        g_mask = jnp.any(bigp.reshape(nc, _CHUNK), axis=1)
+        in_g = jnp.broadcast_to(g_mask[:, None],
+                                (nc, _CHUNK)).reshape(-1)[:F]
+        emit = valid & (n_tiles <= max_span) & ~in_g
+        slots = jnp.arange(max_span, dtype=jnp.int32)
+        live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
+        dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
+        dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
+        tile = (ty0[:, None] + dy) * p["tiles_x"] + (tx0[:, None] + dx)
+        chunk = jnp.arange(F, dtype=jnp.int32)[:, None] // _CHUNK
+        dead = T * nc
+        key = jnp.where(live, tile * nc + chunk, dead)
+        key = jax.lax.sort(key.reshape(-1))
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), key[1:] != key[:-1]]) & (key < dead)
+        return jnp.sum(first.astype(jnp.int32))
 
     faces_j = jnp.asarray(faces, jnp.int32)
     live = np.asarray([int(one(c[faces_j])) for c in clip])
-    budget = _round_up(int(live.max() * 1.3) + 1024, 128)
+    budget = _round_up(int(live.max() * 1.3) + 128, 128)
     return live, min(budget, F * max_span)
 
 
