@@ -32,14 +32,18 @@ import numpy as np
 NOMINAL_BASELINE_MRAYS = 100.0
 
 PRESETS = {
-    # name: (res (H, W), n_views, subdiv, two_hands, iters)
-    # prod = the reference's InterHand HAM workload geometry: 334x512,
-    # two x3-subdivided hands (~99.6k faces), 16-view batch
-    # (`/root/reference/conf/ih_sfs.conf`, `train_mlp.py:151-154`).
-    "prod": ((334, 512), 16, 3, True, 10),
-    "full": ((512, 512), 4, 2, False, 10),
-    "small": ((256, 256), 4, 1, False, 10),
-    "tiny": ((64, 64), 2, 0, False, 3),
+    # name: (res (H, W), n_views, subdiv, two_hands, base_refine, iters)
+    # prod = the reference's production HAM workload geometry: 334x512,
+    # 16-view batch, x3-subdivided MANO-density mesh (~98.4k faces,
+    # SURVEY.md: 49,281 verts / 98,432 faces; here 50,178/100,352 from
+    # the 1568-face refined base) (`/root/reference/conf/ih_sfs.conf`,
+    # `mesh_sfs_optim.py:82`, `train_mlp.py:151-154`).
+    "prod": ((334, 512), 16, 3, False, 1, 10),
+    # twohands = the mano_optim two-hand fusion at subdiv 3 (50k faces)
+    "twohands": ((334, 512), 16, 3, True, 0, 10),
+    "full": ((512, 512), 4, 2, False, 0, 10),
+    "small": ((256, 256), 4, 1, False, 0, 10),
+    "tiny": ((64, 64), 2, 0, False, 0, 3),
 }
 
 
@@ -76,9 +80,10 @@ def main() -> None:
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
     from fmhr_tpu.raster import (render_pixels, apply_antialias, AATopology)
 
-    (H, W), n_views, subdiv, two_hands, iters = PRESETS[args.preset]
+    (H, W), n_views, subdiv, two_hands, base_refine, iters = PRESETS[args.preset]
     verts, faces, w2cs, projs = hand_scene(
-        res=(H, W), n_views=n_views, subdiv=subdiv, two_hands=two_hands)
+        res=(H, W), n_views=n_views, subdiv=subdiv, two_hands=two_hands,
+        base_refine=base_refine)
     V = verts.shape[0]
     topo = MeshTopology.build(faces, V)
     topo_aa = AATopology.build(faces, V)

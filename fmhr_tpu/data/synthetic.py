@@ -36,12 +36,17 @@ def ring_cameras(n: int, radius: float = 3.0, res=64):
 
 
 def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
-               two_hands: bool = False):
+               two_hands: bool = False, base_refine: int = 0):
     """Synthetic hand mesh + ring cameras; returns (verts, faces, w2cs, projs).
 
     res: int (square) or (H, W). two_hands mirrors the mesh into a fused
     left+right pair, matching the reference's two-hand workloads
-    (`/root/reference/mano_optim.py:320-322` face fusion).
+    (`/root/reference/mano_optim.py:320-322` face fusion). base_refine
+    pre-subdivides the template: one refinement takes the synthetic base
+    from 392 to 1568 faces ~= MANO's 1538
+    (`/root/reference/mesh_sfs_optim.py:82` subdivides MANO x3 to the
+    production ~98.4k faces; base_refine=1, subdiv=3 reproduces that
+    density here).
     """
     from ..body import synthetic_hand_model
     from ..core.subdivision import loop_subdivide_iter
@@ -53,6 +58,8 @@ def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
     # tunneled TPU backends). tests/test_core.py pins this equivalence.
     verts = np.asarray(m.v_template, np.float32) * 0.45
     faces = np.asarray(m.faces)
+    if base_refine:
+        verts, faces = loop_subdivide_iter(verts, faces, base_refine)
     if subdiv:
         verts, faces = loop_subdivide_iter(verts, faces, subdiv)
     if two_hands:

@@ -179,6 +179,13 @@ def train_neural_renderer(
         def apply_net(module):
             def f(p, x):
                 xp, crop = pad_to_multiple(x, 16)
+                # PARITY: BatchNorm always runs in TRAIN mode (batch
+                # statistics), updated running stats discarded — the
+                # reference only ever calls `.train()` and never `.eval()`
+                # (`/root/reference/train_unet.py:230`,
+                # `neural_render.py:138,178`), so eval-time BN there also
+                # normalizes by the live batch. Pinned by
+                # tests/test_neural.py::test_unet_batchnorm_train_mode_parity.
                 out = module.apply(p, xp, mutable=["batch_stats"])[0]
                 return out[:, crop[0], crop[1]]
             return f

@@ -102,9 +102,13 @@ class DeferredTopology:
 
 
 def default_max_span(F: int, H: int, W: int) -> int:
-    """4 for subpixel-dense meshes (most faces span 1-2 tiles), 8 for
-    coarse meshes where larger tile bboxes are common."""
-    return 4 if F * 16 > H * W else 8
+    """Per-CHUNK tile-span cap: a 128-face chunk whose tile bbox covers
+    more than this many tiles goes on the global (every-tile) list.
+    Chunks of a spatially coherent mesh cover a small rectangle (measured
+    ~6-12 tiles at production density); 32 keeps the per-tile lists
+    lossless with headroom while bounding degenerate chunks."""
+    del F, H, W
+    return 32
 
 
 def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None):
@@ -126,7 +130,7 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None):
     rec = _round_up(r_used, 8)
     nc = max(1, math.ceil(F / _CHUNK))
     Fpad = nc * _CHUNK
-    lossless = min(F * max_span, T * nc)
+    lossless = min(nc * max_span, T * nc)
     cap = lossless if pairs_budget is None else min(lossless,
                                                    int(pairs_budget))
     # SMEM resident during the kernels: keep it a few KB.
@@ -169,43 +173,67 @@ def _tile_ranges_t(sx, sy, w, p, H, W):
     return tx0, ty0, span_x, span_y, valid
 
 
+def _chunk_bboxes(sx, sy, w, p, H, W):
+    """Per-CHUNK tile bboxes from [3, F] screen coords.
+
+    The mesh face order is spatially coherent (subdivision order), so a
+    128-face chunk covers a small tile rectangle; binning whole chunks by
+    that rectangle costs <1% extra (tile, chunk) pairs vs exact per-face
+    dedup (measured at production density) and removes the F*max_span
+    sort entirely — the sort below is over nc*max_span keys (~12k at 98k
+    faces vs ~400k).
+
+    Returns (ctx0, cty0, cspan_x, cspan_y, any_valid), all [nc].
+    """
+    F = sx.shape[1]
+    nc = p["nc"]
+    tx0, ty0, span_x, span_y, valid = _tile_ranges_t(sx, sy, w, p, H, W)
+    tx1 = tx0 + span_x - 1
+    ty1 = ty0 + span_y - 1
+    big = jnp.int32(1 << 20)
+    pad = p["Fpad"] - F
+
+    def chunk_reduce(a, fill, op):
+        a = jnp.where(valid, a, fill)
+        if pad:
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+        return op(a.reshape(nc, _CHUNK), axis=1)
+
+    ctx0 = chunk_reduce(tx0, big, jnp.min)
+    cty0 = chunk_reduce(ty0, big, jnp.min)
+    ctx1 = chunk_reduce(tx1, -1, jnp.max)
+    cty1 = chunk_reduce(ty1, -1, jnp.max)
+    any_valid = ctx1 >= ctx0
+    cspan_x = jnp.where(any_valid, ctx1 - ctx0 + 1, 0)
+    cspan_y = jnp.where(any_valid, cty1 - cty0 + 1, 0)
+    return ctx0, cty0, cspan_x, cspan_y, any_valid
+
+
 def _build_lists(sx, sy, w, p, *, H, W, max_span):
     """One view's (tile, chunk) work lists from [3, F] screen coords.
 
     Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
     g_list [g_pad] int32, g_cnt scalar int32).
     """
-    F = sx.shape[1]
     T, nc = p["T"], p["nc"]
     S = max_span
-    tx0, ty0, span_x, span_y, valid = _tile_ranges_t(sx, sy, w, p, H, W)
-    n_tiles = span_x * span_y
-    big = valid & (n_tiles > S)
-
-    # chunks holding any big face go global; ALL their faces drop out of
-    # per-tile emission (each global chunk is tested by every tile)
-    pad = p["Fpad"] - F
-    bigp = jnp.pad(big, (0, pad)) if pad else big
-    g_mask = jnp.any(bigp.reshape(nc, _CHUNK), axis=1)          # [nc]
-    in_gchunk = jnp.broadcast_to(g_mask[:, None],
-                                 (nc, _CHUNK)).reshape(-1)[:F]
-    emit = valid & (n_tiles <= S) & ~in_gchunk
+    ctx0, cty0, cspan_x, cspan_y, any_valid = _chunk_bboxes(
+        sx, sy, w, p, H, W)
+    n_tiles = cspan_x * cspan_y
+    g_mask = any_valid & (n_tiles > S)   # oversize chunks: every tile
+    emit = any_valid & ~g_mask
 
     slots = jnp.arange(S, dtype=jnp.int32)
-    dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
-    dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
+    dx = slots[None, :] % jnp.maximum(cspan_x, 1)[:, None]
+    dy = slots[None, :] // jnp.maximum(cspan_x, 1)[:, None]
     live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
-    tile = (ty0[:, None] + dy) * p["tiles_x"] + (tx0[:, None] + dx)
-    chunk = jnp.arange(F, dtype=jnp.int32)[:, None] // _CHUNK
+    tile = (cty0[:, None] + dy) * p["tiles_x"] + (ctx0[:, None] + dx)
+    chunk = jnp.arange(nc, dtype=jnp.int32)[:, None]
     dead = T * nc
-    key = jnp.where(live, tile * nc + chunk, dead)
-
-    key = jax.lax.sort(key.reshape(-1))
-    first = jnp.concatenate([
-        jnp.ones((1,), bool),
-        key[1:] != key[:-1],
-    ]) & (key < dead)
-    key = jax.lax.sort(jnp.where(first, key, dead))[:p["pair_cap"]]
+    # each chunk emits each tile at most once -> sorted keys are unique
+    key = jax.lax.sort(
+        jnp.where(live, tile * nc + chunk, dead).reshape(-1))
+    key = key[:p["pair_cap"]]
 
     t_ar = jnp.arange(T, dtype=jnp.int32)
     tile_of = key // nc
@@ -245,7 +273,8 @@ def _make_fwd_kernel(p, H, W):
     def kernel(meta_ref, list_ref, glob_ref, tab_hbm, outf_ref, slot_ref):
         # meta_ref [1,1,1,4] SMEM: start, end, g_count
         # list_ref [1, 1, pair_cap] SMEM int32; glob_ref [1, 1, g_pad] SMEM
-        # tab_hbm [B, nc, rec, 128] f32 (ANY/HBM, chunk-transposed)
+        # tab_hbm [B, rec, Fpad] f32 (ANY/HBM): chunk c = a strided
+        # [rec, 128] DMA at column c*128 — no host-side repack needed
         # outf_ref [1,1,P,rec] VMEM; slot_ref [1,1,P,1] VMEM int32
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -271,8 +300,9 @@ def _make_fwd_kernel(p, H, W):
 
         def body(tri_buf, sems):
             def dma(slot_i, ci):
+                k0 = pl.multiple_of(chunk_of(ci) * K, K)
                 return pltpu.make_async_copy(
-                    tab_hbm.at[b, chunk_of(ci)],
+                    tab_hbm.at[b, :, pl.ds(k0, K)],
                     tri_buf.at[slot_i],
                     sems.at[slot_i],
                 )
@@ -526,10 +556,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             jnp.asarray(eids_np.T)[None], (B, 3, F))
         table_t = jnp.concatenate([coords_t, ids_row, eids_row, attr_t],
                                   axis=1)                # [B, r_used, F]
-        table_t = jnp.pad(
+        tab = jnp.pad(
             table_t, ((0, 0), (0, rec - r_used), (0, Fpad - F)))
-        # [B, rec, Fpad] -> [B, nc, rec, 128]
-        tab = table_t.reshape(B, rec, nc, K).transpose(0, 2, 1, 3)
 
         # work lists from the transposed coords (screen xy + w rows)
         w_rows = coords_t[:, 3::4]                       # [B, 3, F]
@@ -690,33 +718,16 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
         w_ = tri[..., 3].T
         iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
         sx_, sy_ = sx_ * iw, sy_ * iw
-        tx0, ty0, span_x, span_y, valid = _tile_ranges_t(
+        _, _, cspan_x, cspan_y, any_valid = _chunk_bboxes(
             sx_, sy_, w_, p, H, W)
-        n_tiles = span_x * span_y
-        big = valid & (n_tiles > max_span)
-        padF = p["Fpad"] - F
-        bigp = jnp.pad(big, (0, padF)) if padF else big
-        g_mask = jnp.any(bigp.reshape(nc, _CHUNK), axis=1)
-        in_g = jnp.broadcast_to(g_mask[:, None],
-                                (nc, _CHUNK)).reshape(-1)[:F]
-        emit = valid & (n_tiles <= max_span) & ~in_g
-        slots = jnp.arange(max_span, dtype=jnp.int32)
-        live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
-        dx = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
-        dy = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
-        tile = (ty0[:, None] + dy) * p["tiles_x"] + (tx0[:, None] + dx)
-        chunk = jnp.arange(F, dtype=jnp.int32)[:, None] // _CHUNK
-        dead = T * nc
-        key = jnp.where(live, tile * nc + chunk, dead)
-        key = jax.lax.sort(key.reshape(-1))
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), key[1:] != key[:-1]]) & (key < dead)
-        return jnp.sum(first.astype(jnp.int32))
+        n_tiles = cspan_x * cspan_y
+        emit = any_valid & (n_tiles <= max_span)
+        return jnp.sum(jnp.where(emit, n_tiles, 0))
 
     faces_j = jnp.asarray(faces, jnp.int32)
     live = np.asarray([int(one(c[faces_j])) for c in clip])
     budget = _round_up(int(live.max() * 1.3) + 128, 128)
-    return live, min(budget, F * max_span)
+    return live, min(budget, nc * max_span)
 
 
 def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
