@@ -164,10 +164,21 @@ def train_and_eval(conf_path: str, scan_id: int, data_path: str,
         init_state = _load_ckpt(ckpt_path)
         print(f"continue_train: resuming from {ckpt_path}")
 
+    orbax_dir = join(ckpt_dir, f"orbax_{net_type}_{scan_id}")
+    if not continue_train and os.path.isdir(orbax_dir):
+        # fresh run requested: drop stale mid-phase snapshots so the
+        # orbax resume below doesn't skip training
+        import shutil
+
+        shutil.rmtree(orbax_dir)
+
     state, l1, l2, (net, net_g, pe) = train_neural_renderer(
         imgs, views.masks, views.rays, views.w2cs, views.projs,
         verts, faces, albedo, num_epochs=epochs, batch=2,
         net_type=net_type, init_state=init_state,
+        # crash-safe mid-phase snapshots (orbax); a crashed run under the
+        # same dir resumes mid-phase rather than restarting
+        checkpoint_dir=orbax_dir,
     )
 
     _save_ckpt(ckpt_path, state)

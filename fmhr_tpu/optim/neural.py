@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable
 
 import numpy as np
@@ -135,6 +136,8 @@ def train_neural_renderer(
     mlp_depth: int = 8,
     net_type: str = "mlp",
     init_state: "NeuralRenderState | None" = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 50,
 ):
     """Two-phase renderer training (net_type 'mlp' or 'unet'). Returns
     (NeuralRenderState, losses1, losses2, modules). Image tensors are
@@ -142,6 +145,13 @@ def train_neural_renderer(
 
     `init_state` resumes from a previous NeuralRenderState (the
     reference's `continue_train`, `neural_render.py:100-106`).
+
+    With `checkpoint_dir`, each phase's scan is segmented every
+    `checkpoint_every` epochs and (params, opt state, rng key) snapshot
+    via orbax under `<dir>/phase{1,2}`; on restart the phase resumes
+    from the latest snapshot (a finished phase 1 is not re-run — its
+    final snapshot restores directly). The reference loses the run on a
+    crash (SURVEY.md §5).
     """
     imgs = jnp.asarray(imgs, jnp.float32)
     gt_masks = jnp.asarray(gt_masks, jnp.float32)
@@ -211,15 +221,50 @@ def train_neural_renderer(
             (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
         )
 
+    def segmented_scan(run_seg, params, state, key, batches, steps_pe,
+                       subdir):
+        """Drive a jitted scan segment-by-segment with orbax snapshots.
+
+        run_seg: (params, state, key, batch_seg) -> (params, state, key,
+        losses). Snapshots after every segment (including the last, so a
+        later phase's crash never re-runs this one).
+        """
+        total = int(batches.shape[0])
+        cdir = (os.path.join(checkpoint_dir, subdir)
+                if checkpoint_dir is not None else None)
+        seg_len = (max(1, checkpoint_every * steps_pe)
+                   if cdir is not None else total)
+        start = 0
+        if cdir is not None:
+            from ..utils.checkpoint import latest_step, load_checkpoint
+
+            last = latest_step(cdir)
+            if last is not None:
+                params, state, key = load_checkpoint(
+                    cdir, (params, state, key), last)
+                start = min(int(last), total)
+        chunks = []
+        k = start
+        while k < total:
+            end = min(total, k + seg_len)
+            params, state, key, losses = run_seg(
+                params, state, key, batches[k:end])
+            chunks.append(losses)
+            k = end
+            if cdir is not None:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(cdir, (params, state, key), k)
+        losses = (jnp.concatenate(chunks) if chunks
+                  else jnp.zeros((0,), jnp.float32))
+        return params, state, key, losses
+
     # ---------------- phase 1: net + vertex_feat ---------------------------
-    batches1, _ = _make_batcher(N, batch, num_epochs, seed)
+    batches1, steps_pe1 = _make_batcher(N, batch, num_epochs, seed)
     opt1 = optax.adam(1e-4)
 
     @jax.jit
-    def run_phase1(net_p0, vf0, key):
-        params = {"net": net_p0, "vf": vf0}
-        state = opt1.init(params)
-
+    def run_phase1_seg(params, state, key, batch_seg):
         def loss_fn(p, idx, rng):
             pred, masks = render(p["net"], p["vf"], vertices, albedo, idx, rng)
             valid = ((masks[..., 0] > 0) & (gt_masks[idx] > 0)).astype(jnp.float32)
@@ -236,14 +281,18 @@ def train_neural_renderer(
             upd, s = opt1.update(g, s)
             return (optax.apply_updates(p, upd), s, k), loss
 
-        (p, _, _), losses = jax.lax.scan(step, (params, state, key), batches1)
-        return p["net"], p["vf"], losses
+        (p, s, k), losses = jax.lax.scan(step, (params, state, key), batch_seg)
+        return p, s, k, losses
 
     k3, key = jax.random.split(key)
-    net_params, vertex_feat, losses1 = run_phase1(net_params, vertex_feat, k3)
+    params1 = {"net": net_params, "vf": vertex_feat}
+    params1, _, _, losses1 = segmented_scan(
+        run_phase1_seg, params1, opt1.init(params1), k3, batches1,
+        steps_pe1, "phase1")
+    net_params, vertex_feat = params1["net"], params1["vf"]
 
     # ---------------- phase 2: + net_g, vertices, albedo -------------------
-    batches2, _ = _make_batcher(N, batch, num_epochs, seed + 1)
+    batches2, steps_pe2 = _make_batcher(N, batch, num_epochs, seed + 1)
     opt2 = optax.multi_transform(
         {
             "net": optax.adam(1e-4), "net_g": optax.adam(5e-4),
@@ -255,11 +304,7 @@ def train_neural_renderer(
     )
 
     @jax.jit
-    def run_phase2(net_p0, netg_p0, vf0, verts0, alb0, key):
-        params = {"net": net_p0, "net_g": netg_p0, "vf": vf0,
-                  "verts": verts0, "albedo": alb0}
-        state = opt2.init(params)
-
+    def run_phase2_seg(params, state, key, batch_seg):
         def loss_fn(p, idx, rng):
             r1, r2 = jax.random.split(rng)
             render_z, masks = render(p["net"], p["vf"], p["verts"], p["albedo"], idx, r1)
@@ -291,13 +336,15 @@ def train_neural_renderer(
             upd, s = opt2.update(g, s)
             return (optax.apply_updates(p, upd), s, k), loss
 
-        (p, _, _), losses = jax.lax.scan(step, (params, state, key), batches2)
-        return p, losses
+        (p, s, k), losses = jax.lax.scan(step, (params, state, key), batch_seg)
+        return p, s, k, losses
 
     k4, key = jax.random.split(key)
-    p, losses2 = run_phase2(
-        net_params, net_g_params, vertex_feat, vertices, albedo, k4
-    )
+    params2 = {"net": net_params, "net_g": net_g_params, "vf": vertex_feat,
+               "verts": vertices, "albedo": albedo}
+    p, _, _, losses2 = segmented_scan(
+        run_phase2_seg, params2, opt2.init(params2), k4, batches2,
+        steps_pe2, "phase2")
 
     state = NeuralRenderState(
         net_params=p["net"], net_g_params=p["net_g"],

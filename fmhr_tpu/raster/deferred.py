@@ -1,37 +1,50 @@
 """Deferred-shading rasterization: the winning triangle's FULL record per
-pixel from one Pallas pass, with a matmul-reduction custom_vjp backward.
+pixel from Pallas passes, with a matmul-reduction custom_vjp backward.
 
 Why: the reference's hot loop (`/root/reference/mesh_sfs_optim.py:246-318`)
 is rasterize -> interpolate -> antialias fwd+bwd over all pixels. The
 round-1 TPU port paid ~10 ms per [B, H, W]-indexed XLA gather forward and
-an XLA scatter-add transpose backward. This module removes both, and —
-unlike the first deferred design, which materialised a sorted per-
-(tile, face) record stream via an XLA row gather (measured ~100 ms at
-production density) and reduced gradients back to faces via segment_sum
-(~220 ms) — it streams the FACE TABLE itself:
+an XLA scatter-add transpose backward. This module removes both with a
+three-stage design (pass A / compact / pass B):
 
-- The per-view face table ([nc, rec, 128]: 128 faces per chunk,
-  chunk-transposed so each DMA is a perfectly tiled [rec, 128] block)
-  holds 12 clip coords, face id, 3 AA edge ids and 3xC attributes.
-- Binning happens at CHUNK granularity: tile t's work list is the set of
-  128-face chunks containing >=1 face whose bbox touches t. Mesh face
-  order is spatially coherent (subdivision order), so this costs only
-  ~1.4x the ideal record count at production density — and there is
-  nothing to gather: the forward kernel DMAs table chunks directly,
-  depth-tests all 128 faces against the tile (coverage masks the
-  non-touching ones exactly), and keeps the winner's whole record via a
-  one-hot MXU matmul. Downstream barycentric/interpolation/antialias math
-  is plain fused elementwise XLA with no gathers at all.
-- Backward: per tile, gradients w.r.t. the winner components reduce to
-  per-face sums over won pixels = one-hot matmuls accumulated (read-
-  modify-write over the sequential grid) DIRECTLY into face-table layout
-  [rec, F]. No scatter-adds and no segment reduction anywhere on the
-  pixel-sized path; faces reduce to vertices/attributes by a STATIC
-  vertex->(face, corner) incidence gather.
+- **Pass A (visibility)** streams a compact per-chunk COEFFICIENT table:
+  for every 128-face chunk, XLA precomputes affine edge functions
+  l_k(px, py) = A_k·px + B_k·py + C_k and the affine depth zw(px, py),
+  anchored at the chunk's own screen position so the coefficients stay
+  well-conditioned for subpixel triangles. The kernel evaluates the four
+  affine forms for 128 faces x 1024 pixels with small-k MXU matmuls
+  against a constant (col, row, 1) basis, then tracks the winner PER
+  LANE (zbest/chunkbest [P, K]) — no cross-lane reduction and no record
+  extraction in the hot loop. One argmin per tile at the end yields the
+  winning face index per pixel (`slot`).
+- **Compaction (XLA)**: two tiny sorts turn the slot map into per-tile
+  lists of DISTINCT winning chunks (~half the binned chunks; zero for
+  background tiles).
+- **Pass B (extraction)** visits only winning chunks: DMA the full
+  record ([12 clip coords, id, 3 AA edge ids, 3xC attrs] per face),
+  one-hot MXU matmul extracts the winner's whole record per pixel.
+  Downstream barycentric/interpolation/antialias math is plain fused
+  elementwise XLA with no gathers at all.
+- **Backward** reuses the winner lists: per tile, gradients w.r.t. the
+  winner components reduce to per-face sums over won pixels = one-hot
+  matmuls accumulated (read-modify-write over the sequential grid)
+  DIRECTLY into face-table layout [rec, F]. No scatter-adds and no
+  segment reduction anywhere on the pixel-sized path; faces reduce to
+  vertices/attributes by a STATIC vertex->(face, corner) incidence
+  gather.
+
+Binning happens at CHUNK granularity: tile t's work list is the set of
+128-face chunks whose tile bbox touches t. Mesh face order is spatially
+coherent (subdivision order), so this costs only ~1.4x the ideal record
+count at production density.
 
 Semantics match raster/api.py (nvdiffrast conventions: ids 1-based, 0 =
 background, `rast = (u, v, z/w, id)`), verified against the naive oracle
-in tests/test_deferred.py.
+in tests/test_deferred.py. The pass-A coverage test is the same
+sign-of-edge-function rule evaluated in an algebraically identical but
+floating-point-reassociated form; the chunk anchoring keeps the
+reassociation noise ~4 orders of magnitude below the per-pixel edge
+margin at production triangle density.
 """
 
 from __future__ import annotations
@@ -52,6 +65,8 @@ TILE_H = 8
 TILE_W = 128
 _PIX = TILE_H * TILE_W
 _BIG = np.float32(3.0e38)
+_NEG = np.float32(-1.0e30)  # invalid-face C0 marker (headroom vs bf16x6)
+_INT_BIG = np.int32(1 << 30)
 _CHUNK = 128  # faces per table chunk (lane dim)
 
 
@@ -111,23 +126,28 @@ def default_max_span(F: int, H: int, W: int) -> int:
     return 32
 
 
-def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None):
-    """Static layout plan shared by fwd/bwd.
+def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
+          winner_cap=128):
+    """Static layout plan shared by the passes.
 
-    The work lists are COMPACT (tile, chunk) pairs sorted by tile with
-    per-tile [start, end) ranges; the chunk ids live in SMEM during the
-    kernels. pairs_budget bounds the live pair count per view (probe it
-    with `audit_deferred_rows`); if live pairs exceed the budget the
+    The pass-A work lists are COMPACT (tile, chunk) pairs sorted by tile
+    with per-tile [start, end) ranges; the chunk ids live in SMEM during
+    the kernels. pairs_budget bounds the live pair count per view (probe
+    it with `audit_deferred_rows`); if live pairs exceed the budget the
     highest-index tiles lose chunks — size with margin via the audit.
-    global_cap bounds the per-view count of GLOBAL chunks (chunks holding
-    >=1 face whose tile span exceeds max_span; those are tested by every
-    tile, so their faces are excluded from per-tile lists).
+    global_cap bounds the per-view count of GLOBAL chunks (chunks whose
+    tile span exceeds max_span; those are tested by every tile).
+    winner_cap bounds DISTINCT winning chunks per tile for pass B; a
+    tile that exceeds it renders its overflow pixels as background
+    (fail-visible, not silently wrong — and ~8x headroom vs measured
+    production tiles).
     """
     tiles_y = math.ceil(H / TILE_H)
     tiles_x = math.ceil(W / TILE_W)
     T = tiles_y * tiles_x
     r_used = 16 + 3 * C       # 12 coords, id, 3 eids, 3xC attrs
     rec = _round_up(r_used, 8)
+    rec_a = 16                # 12 affine coefficient rows + pad (pass A)
     nc = max(1, math.ceil(F / _CHUNK))
     Fpad = nc * _CHUNK
     lossless = min(nc * max_span, T * nc)
@@ -136,9 +156,10 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None):
     # SMEM resident during the kernels: keep it a few KB.
     pair_cap = _round_up(min(max(cap, _CHUNK), 8192), _CHUNK)
     g_pad = _round_up(global_cap, 8)
+    wcap = min(_round_up(winner_cap, 8), _round_up(nc, 8))
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
-                rec=rec, nc=nc, Fpad=Fpad, pair_cap=pair_cap,
-                g_cap=global_cap, g_pad=g_pad,
+                rec=rec, rec_a=rec_a, nc=nc, Fpad=Fpad, pair_cap=pair_cap,
+                g_cap=global_cap, g_pad=g_pad, wcap=wcap,
                 Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
 
 
@@ -179,9 +200,8 @@ def _chunk_bboxes(sx, sy, w, p, H, W):
     The mesh face order is spatially coherent (subdivision order), so a
     128-face chunk covers a small tile rectangle; binning whole chunks by
     that rectangle costs <1% extra (tile, chunk) pairs vs exact per-face
-    dedup (measured at production density) and removes the F*max_span
-    sort entirely — the sort below is over nc*max_span keys (~12k at 98k
-    faces vs ~400k).
+    dedup (measured at production density) and keeps the sort tiny
+    (nc*max_span keys, ~12k at 98k faces vs ~400k per-face).
 
     Returns (ctx0, cty0, cspan_x, cspan_y, any_valid), all [nc].
     """
@@ -249,44 +269,133 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     return chunk_list, starts, ends, g_list, g_cnt
 
 
+def _coeff_table(coords_t, p, H, W):
+    """Pass-A affine coefficient table + per-chunk anchors for ONE view.
+
+    coords_t: [12, F] transposed clip coords (x0 y0 z0 w0 x1 ... w2).
+    Returns (table_a [16, Fpad] f32, anchors [2, nc] f32).
+
+    Everything is in PIXEL units with a per-chunk anchor subtracted:
+    l_k(px, py) = A_k·(px - ax) + B_k·(py - ay) + C_k where (px, py) is
+    the pixel center in pixels and C_k = l_k at the anchor. The anchor
+    keeps all products O(chunk extent)² so the edge-sign noise stays
+    ~1e-4 px² vs ~0.1 px² per-pixel margins at subpixel face density.
+    Row layout (sign-folded so covered ⟺ min(l) ≥ 0; invalid faces get
+    C0 = NEG): [A0 B0 C0 0 A1 B1 C1 0 A2 B2 C2 0 Az Bz Cz 0]; zw at
+    pixel = Az·(px-ax) + Bz·(py-ay) + Cz.
+    """
+    F = coords_t.shape[1]
+    nc, Fpad = p["nc"], p["Fpad"]
+    w = coords_t[3::4]                               # [3, F]
+    iw = 1.0 / jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+    sx = coords_t[0::4] * iw
+    sy = coords_t[1::4] * iw
+    zf = coords_t[2::4] * iw                         # z/w per corner
+    x = (sx + 1.0) * (W * 0.5)                       # pixel units
+    y = (sy + 1.0) * (H * 0.5)
+
+    in_front = jnp.all(w > W_EPS, axis=0)
+    offscreen = (
+        (jnp.max(x, 0) < 0) | (jnp.min(x, 0) >= W)
+        | (jnp.max(y, 0) < 0) | (jnp.min(y, 0) >= H)
+    )
+    valid = in_front & ~offscreen
+
+    # per-chunk anchor: masked min of vertex-0 pixel coords
+    pad = Fpad - F
+
+    def chunk_min(a):
+        a = jnp.where(valid, a, _BIG)
+        if pad:
+            a = jnp.pad(a, (0, pad), constant_values=_BIG)
+        m = jnp.min(a.reshape(nc, _CHUNK), axis=1)
+        return jnp.where(m < _BIG, m, 0.0)
+
+    ax_c = chunk_min(x[0])                           # [nc]
+    ay_c = chunk_min(y[0])
+    ax = jnp.repeat(ax_c, _CHUNK)[:F]
+    ay = jnp.repeat(ay_c, _CHUNK)[:F]
+
+    X = x - ax[None]                                 # [3, F] anchored
+    Y = y - ay[None]
+    A0 = Y[1] - Y[2]
+    B0 = X[2] - X[1]
+    C0 = X[1] * Y[2] - X[2] * Y[1]
+    A1 = Y[2] - Y[0]
+    B1 = X[0] - X[2]
+    C1 = X[2] * Y[0] - X[0] * Y[2]
+    A2 = Y[0] - Y[1]
+    B2 = X[1] - X[0]
+    C2 = X[0] * Y[1] - X[1] * Y[0]
+    d = (X[1] - X[0]) * (Y[2] - Y[0]) - (X[2] - X[0]) * (Y[1] - Y[0])
+    s = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
+    sd = s * d
+    # oracle guard |d_ndc| > AREA_EPS, rescaled to pixel² units
+    area_eps_pix = np.float32(AREA_EPS * (W * 0.5) * (H * 0.5))
+    valid = valid & (sd > area_eps_pix)
+
+    A0, B0, C0 = s * A0, s * B0, s * C0
+    A1, B1, C1 = s * A1, s * B1, s * C1
+    A2, B2, C2 = s * A2, s * B2, s * C2
+    inv_sd = 1.0 / jnp.where(sd > area_eps_pix, sd, 1.0)
+    Az = (A0 * zf[0] + A1 * zf[1] + A2 * zf[2]) * inv_sd
+    Bz = (B0 * zf[0] + B1 * zf[1] + B2 * zf[2]) * inv_sd
+    Cz = (C0 * zf[0] + C1 * zf[1] + C2 * zf[2]) * inv_sd
+
+    zero = jnp.zeros_like(C0)
+    C0 = jnp.where(valid, C0, _NEG)
+    # [A B C d] per group; d = l0+l1+l2 is pixel-independent (the A/B
+    # sums telescope to zero), so the kernel derives l2 = d - l0 - l1
+    # instead of evaluating a third affine form
+    rows = [A0, B0, C0, sd, A1, B1, C1, zero,
+            A2, B2, C2, zero, Az, Bz, Cz, zero]
+    table_a = jnp.stack(rows)                        # [16, F]
+    if pad:
+        table_a = jnp.pad(table_a, ((0, 0), (0, pad)))
+        # padded faces must never win: C0 = -NEG marker
+        table_a = table_a.at[2, F:].set(_NEG)
+    anchors = jnp.stack([ax_c, ay_c])                # [2, nc]
+    return table_a, anchors
+
+
 # --------------------------------------------------------------------------
-# Forward kernel
+# Pass A: per-pixel winning face index (z-only visibility)
 # --------------------------------------------------------------------------
 
-def _make_fwd_kernel(p, H, W):
+def _make_passa_kernel(p):
     """[pixels, faces] = [1024, 128] block-vectorized visibility.
 
-    Table chunks arrive chunk-transposed ([rec, 128] VMEM blocks): each
-    record component is a [1, K] lane row broadcast against [P, 1] pixel
-    columns, so the coverage/depth math runs on full-width VPU tiles with
-    no scalar loads. The winner's record columns are extracted per chunk
-    by a one-hot matmul on the MXU instead of per-record selects. The
-    winning slot IS the face index (chunk*128 + lane).
+    Coefficient chunks arrive as [16, 128] VMEM blocks, grouped
+    [A B C 0] x {l0, l1, l2, zw}. Per group the kernel evaluates
+    A·col + B·row + C' with two broadcast FMAs, where C' folds the tile
+    offset and chunk anchor (C + A·dx + B·dy, a [1, K] row op). Coverage
+    + the per-lane winner update are ~7 more VPU ops; there is no
+    cross-lane work until the final per-tile argmin.
     """
-    rec = p["rec"]
     nc = p["nc"]
     tiles_x = p["tiles_x"]
-    inv_w2 = np.float32(2.0 / W)
-    inv_h2 = np.float32(2.0 / H)
     K = _CHUNK
 
-    def kernel(meta_ref, list_ref, glob_ref, tab_hbm, outf_ref, slot_ref):
+    def kernel(meta_ref, list_ref, glob_ref, anch_ref, taba_hbm, slot_ref):
         # meta_ref [1,1,1,4] SMEM: start, end, g_count
         # list_ref [1, 1, pair_cap] SMEM int32; glob_ref [1, 1, g_pad] SMEM
-        # tab_hbm [B, rec, Fpad] f32 (ANY/HBM): chunk c = a strided
-        # [rec, 128] DMA at column c*128 — no host-side repack needed
-        # outf_ref [1,1,P,rec] VMEM; slot_ref [1,1,P,1] VMEM int32
+        # anch_ref [1, 2, nc] SMEM f32: pixel-space chunk anchors
+        # taba_hbm [B, 16, Fpad] f32 (ANY/HBM): chunk c = strided
+        # [16, K] DMA at column c*K
+        # slot_ref [1,1,P,1] VMEM int32 out: winning face index or -1
         b = pl.program_id(0)
         t = pl.program_id(1)
         ty = t // tiles_x
         tx = t % tiles_x
         pidx = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 1), 0)
-        col = jax.lax.rem(pidx, TILE_W)
-        row = pidx // TILE_W
-        pxb = (col + tx * TILE_W).astype(jnp.float32) * inv_w2 + (
-            0.5 * inv_w2 - 1.0)                     # [P, 1]
-        pyb = (row + ty * TILE_H).astype(jnp.float32) * inv_h2 + (
-            0.5 * inv_h2 - 1.0)                     # [P, 1]
+        col = jax.lax.rem(pidx, TILE_W).astype(jnp.float32)   # [P, 1]
+        row = (pidx // TILE_W).astype(jnp.float32)            # [P, 1]
+        colK = jnp.broadcast_to(col, (_PIX, K))
+        rowK = jnp.broadcast_to(row, (_PIX, K))
+        # pixel-center offset of this tile's (0,0) pixel, in pixels
+        tx0 = (tx * TILE_W).astype(jnp.float32) + 0.5
+        ty0 = (ty * TILE_H).astype(jnp.float32) + 0.5
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
         start = meta_ref[0, 0, 0, 0]
         end = meta_ref[0, 0, 0, 1]
@@ -302,7 +411,7 @@ def _make_fwd_kernel(p, H, W):
             def dma(slot_i, ci):
                 k0 = pl.multiple_of(chunk_of(ci) * K, K)
                 return pltpu.make_async_copy(
-                    tab_hbm.at[b, :, pl.ds(k0, K)],
+                    taba_hbm.at[b, :, pl.ds(k0, K)],
                     tri_buf.at[slot_i],
                     sems.at[slot_i],
                 )
@@ -312,78 +421,142 @@ def _make_fwd_kernel(p, H, W):
                 dma(0, 0).start()
 
             def loop(ci, carry):
-                zbest, slotbest, comp = carry
+                zb, cb = carry
                 sl = jax.lax.rem(ci, 2)
-                nsl = jax.lax.rem(ci + 1, 2)
 
                 @pl.when(ci + 1 < n_total)
                 def _():
-                    dma(nsl, ci + 1).start()
+                    dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
                 dma(sl, ci).wait()
-                tri_c = tri_buf[sl]                  # [rec, K]
-                r = lambda i: tri_c[i:i + 1, :]      # [1, K]
-                face_id = r(12)
-                k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-                x0, y0, z0, w0 = r(0), r(1), r(2), r(3)
-                x1, y1, z1, w1 = r(4), r(5), r(6), r(7)
-                x2, y2, z2, w2 = r(8), r(9), r(10), r(11)
-                iw0 = 1.0 / jnp.where(jnp.abs(w0) > W_EPS, w0, W_EPS)
-                iw1 = 1.0 / jnp.where(jnp.abs(w1) > W_EPS, w1, W_EPS)
-                iw2 = 1.0 / jnp.where(jnp.abs(w2) > W_EPS, w2, W_EPS)
-                sx0, sy0 = x0 * iw0, y0 * iw0
-                sx1, sy1 = x1 * iw1, y1 * iw1
-                sx2, sy2 = x2 * iw2, y2 * iw2
-                d = (sx1 - sx0) * (sy2 - sy0) - (sx2 - sx0) * (sy1 - sy0)
-                sgn = jnp.where(d >= 0.0, 1.0, -1.0).astype(jnp.float32)
-                ok = ((face_id > 0.0)
-                      & (jnp.abs(d) > AREA_EPS)
-                      & (jnp.minimum(jnp.minimum(w0, w1), w2) > W_EPS))
-                zf = z0 * iw0, z1 * iw1, z2 * iw2    # [1, K] each
-                inv_d = 1.0 / jnp.where(jnp.abs(d) > AREA_EPS, d, AREA_EPS)
+                ta = tri_buf[sl]                     # [16, K]
+                c = chunk_of(ci)
+                dxs = tx0 - anch_ref[0, 0, c]        # scalar f32
+                dys = ty0 - anch_ref[0, 1, c]
 
-                # [P, K] pixel x face math
-                l0 = (sx1 - pxb) * (sy2 - pyb) - (sx2 - pxb) * (sy1 - pyb)
-                l1 = (sx2 - pxb) * (sy0 - pyb) - (sx0 - pxb) * (sy2 - pyb)
-                l2 = (sx0 - pxb) * (sy1 - pyb) - (sx1 - pxb) * (sy0 - pyb)
-                cov = ((sgn * l0 >= 0.0) & (sgn * l1 >= 0.0)
-                       & (sgn * l2 >= 0.0) & ok)
-                zw = (l0 * zf[0] + l1 * zf[1] + l2 * zf[2]) * inv_d
-                zw = jnp.where(cov, zw, _BIG)
+                def grp(g):
+                    # A·(px-ax) + B·(py-ay) + C with the tile offset and
+                    # anchor folded into the [1, K] constant term; the
+                    # [P, K] part is two broadcast FMAs on the VPU (an
+                    # MXU small-k dot was 2x slower: 6 HIGHEST passes of
+                    # a k=4 matmul are pure launch overhead).
+                    blk = ta[4 * g:4 * g + 4]        # [4, K]: A B C d
+                    A = blk[0:1]
+                    Bq = blk[1:2]
+                    Cb = blk[2:3] + A * dxs + Bq * dys       # [1, K]
+                    return colK * A + (rowK * Bq + Cb)       # [P, K]
 
-                # lane argmin (first minimum = lowest face id in the chunk)
-                zmin = jnp.min(zw, axis=1, keepdims=True)        # [P, 1]
-                kmin = jnp.min(
-                    jnp.where(zw <= zmin, k_iota, K), axis=1,
-                    keepdims=True)                                # [P, 1]
+                l0 = grp(0)
+                l1 = grp(1)
+                l2 = (ta[3:4] - l0) - l1             # d - l0 - l1
+                zw = grp(3)
+                m = jnp.minimum(jnp.minimum(l0, l1), l2)
+                zsel = jnp.where(m >= 0.0, zw, _BIG)
+                better = zsel < zb
+                zb = jnp.where(better, zsel, zb)
+                cb = jnp.where(better, c, cb)
+                return zb, cb
 
-                better = zmin < zbest
-                zbest = jnp.where(better, zmin, zbest)
-                slotbest = jnp.where(better, chunk_of(ci) * K + kmin,
-                                     slotbest)
+            init = (
+                jnp.full((_PIX, K), _BIG, jnp.float32),
+                jnp.zeros((_PIX, K), jnp.int32),
+            )
+            zb, cb = jax.lax.fori_loop(0, n_total, loop, init)
+            zmin = jnp.min(zb, axis=1, keepdims=True)        # [P, 1]
+            cand = jnp.where(zb <= zmin, cb * K + k_iota, _INT_BIG)
+            slot = jnp.min(cand, axis=1, keepdims=True)      # [P, 1]
+            covered = zmin < _BIG
+            slot_ref[0, 0] = jnp.where(covered, slot, -1)
 
-                # extract winner columns for pixels won by THIS chunk
-                onehot = (kmin == k_iota).astype(jnp.float32)     # [P, K]
-                # HIGHEST: default TPU matmul precision is bf16, which
-                # rounds face/edge ids > 256 to even and quantizes coords
-                new_comp = jax.lax.dot_general(
-                    onehot, tri_c,
+        pl.run_scoped(
+            body,
+            tri_buf=pltpu.VMEM((2, 16, K), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return kernel
+
+
+def _winner_lists(slot, p):
+    """Distinct winning chunks per tile from the slot map (pure XLA).
+
+    slot: [B, T, P] int32 (face index or -1). Returns
+    (wlist [B, T, wcap] int32, wcnt [B, T] int32). Tiles with more than
+    wcap distinct winning chunks keep the lowest-numbered wcap; pass B
+    renders the overflow pixels as background (audited in tests).
+    """
+    nc, wcap = p["nc"], p["wcap"]
+    c = jnp.where(slot >= 0, slot // _CHUNK, nc)
+    s = jnp.sort(c, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones(s.shape[:-1] + (1,), bool),
+         s[..., 1:] != s[..., :-1]], axis=-1) & (s < nc)
+    keys = jnp.where(first, s, nc)
+    wlist = jnp.sort(keys, axis=-1)[..., :wcap].astype(jnp.int32)
+    wcnt = jnp.minimum(jnp.sum(first, axis=-1), wcap).astype(jnp.int32)
+    return wlist, wcnt
+
+
+# --------------------------------------------------------------------------
+# Pass B: winner record extraction
+# --------------------------------------------------------------------------
+
+def _make_passb_kernel(p):
+    """Per-tile record extraction over DISTINCT winning chunks only.
+
+    Each winning chunk's [rec, K] record block is DMAed once; the
+    winner's record columns are extracted by a one-hot MXU matmul and
+    accumulated (each pixel matches exactly one chunk). Background tiles
+    (wcnt = 0) cost nothing.
+    """
+    rec = p["rec"]
+    K = _CHUNK
+
+    def kernel(wmeta_ref, wlist_ref, slot_ref, tab_hbm, outf_ref):
+        # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
+        # slot_ref [1,1,P,1] VMEM int32; tab_hbm [B, rec, Fpad] ANY
+        # outf_ref [1,1,P,rec] VMEM f32
+        b = pl.program_id(0)
+        wcnt = wmeta_ref[0, 0, 0, 0]
+        slot_col = slot_ref[0, 0]                    # [P, 1]
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
+
+        def body(tri_buf, sems):
+            def dma(slot_i, ci):
+                k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
+                return pltpu.make_async_copy(
+                    tab_hbm.at[b, :, pl.ds(k0, K)],
+                    tri_buf.at[slot_i],
+                    sems.at[slot_i],
+                )
+
+            @pl.when(wcnt > 0)
+            def _():
+                dma(0, 0).start()
+
+            def loop(ci, comp):
+                sl = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < wcnt)
+                def _():
+                    dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                dma(sl, ci).wait()
+                c = wlist_ref[0, 0, 0, ci]
+                onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
+                # HIGHEST: bf16 would round face/edge ids > 256 to even
+                # and quantize coords
+                comp = comp + jax.lax.dot_general(
+                    onehot, tri_buf[sl],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )                                                 # [P, rec]
-                comp = jnp.where(better, new_comp, comp)
-                return zbest, slotbest, comp
+                )                                    # [P, rec]
+                return comp
 
-            init = (
-                jnp.full((_PIX, 1), _BIG, jnp.float32),
-                jnp.full((_PIX, 1), -1, jnp.int32),
-                jnp.zeros((_PIX, rec), jnp.float32),
-            )
-            zbest, slotbest, comp = jax.lax.fori_loop(0, n_total, loop, init)
-            covered = slotbest >= 0
-            slot_ref[0, 0] = jnp.where(covered, slotbest, -1)
-            outf_ref[0, 0] = jnp.where(covered, comp, 0.0)
+            comp = jax.lax.fori_loop(
+                0, wcnt, loop, jnp.zeros((_PIX, rec), jnp.float32))
+            outf_ref[0, 0] = comp
 
         pl.run_scoped(
             body,
@@ -401,48 +574,40 @@ def _make_fwd_kernel(p, H, W):
 def _make_bwd_kernel(p):
     """Per-tile grad reduction straight into face-table layout:
     g_tab[:, f] += sum_p onehot(slot_p == f) g[:, p] over the tile's
-    chunks.
+    WINNING chunks (the only chunks with nonzero gradient).
 
-    Chunks are shared between tiles (and global chunks by ALL tiles), so
-    the kernel ACCUMULATES: read chunk gradient block, add this tile's
-    one-hot matmul contribution, write back. TPU grid steps execute
-    sequentially and all in-flight stores are drained before the kernel
-    body returns, so the read-modify-write is race-free; g_tab is
-    zero-initialised via input/output aliasing.
+    Chunks are shared between tiles, so the kernel ACCUMULATES: read
+    chunk gradient block, add this tile's one-hot matmul contribution,
+    write back. TPU grid steps execute sequentially and all in-flight
+    stores are drained before the kernel body returns, so the
+    read-modify-write is race-free; g_tab is zero-initialised via
+    input/output aliasing.
     """
-    rec, nc = p["rec"], p["nc"]
+    rec = p["rec"]
     K = _CHUNK
 
-    def kernel(meta_ref, list_ref, glob_ref, slot_ref, g_ref, zeros_ref,
+    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, zeros_ref,
                gtab_hbm, stage_in, stage_out, sems_r, sems_w):
-        # meta [1,1,1,4] SMEM: start, end, g_count
-        # list_ref [1, 1, pair_cap] SMEM; glob_ref [1, 1, g_pad] SMEM
+        # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] int32; g_ref [1,1,rec,P] f32
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
         # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
         # stage_in/stage_out: VMEM (2, rec, K) DMA staging
         del zeros_ref
         b = pl.program_id(0)
-        start = meta_ref[0, 0, 0, 0]
-        end = meta_ref[0, 0, 0, 1]
-        gcnt = meta_ref[0, 0, 0, 2]
-        n_main = end - start
-        n_iter = n_main + gcnt
+        n_iter = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]          # [P, 1] int32
         g_mat = g_ref[0, 0]                # [rec, P] f32
-
-        def chunk_of(ci):
-            return jnp.where(ci < n_main, list_ref[0, 0, start + ci],
-                             glob_ref[0, 0, jnp.maximum(ci - n_main, 0)])
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
         def rd(sl, ci):
-            k0 = pl.multiple_of(chunk_of(ci) * K, K)
+            k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
             return pltpu.make_async_copy(
                 gtab_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
                 sems_r.at[sl])
 
         def wr(sl, ci):
-            k0 = pl.multiple_of(chunk_of(ci) * K, K)
+            k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
             return pltpu.make_async_copy(
                 stage_out.at[sl], gtab_hbm.at[b, :, pl.ds(k0, K)],
                 sems_w.at[sl])
@@ -458,9 +623,8 @@ def _make_bwd_kernel(p):
             def _():
                 rd(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
-            k_iota = chunk_of(ci) * K + jax.lax.broadcasted_iota(
-                jnp.int32, (1, K), 1)
-            onehot = (slot_col == k_iota).astype(jnp.float32)  # [P, K]
+            c = wlist_ref[0, 0, 0, ci]
+            onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
             gc = jax.lax.dot_general(
                 g_mat, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -500,6 +664,7 @@ _CORE_CACHE: dict = {}
 def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                       max_span: int | None = None,
                       global_cap: int = 64, rows_budget: int | None = None,
+                      winner_cap: int = 128,
                       shared_attr: bool = False, interpret: bool = False):
     """Cached custom_vjp'd core for one (topology, config).
 
@@ -514,11 +679,11 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     if max_span is None:
         max_span = default_max_span(F, H, W)
     key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
-           shared_attr, interpret)
+           winner_cap, shared_attr, interpret)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
-    p = _plan(F, V, C, H, W, max_span, global_cap, rows_budget)
+    p = _plan(F, V, C, H, W, max_span, global_cap, rows_budget, winner_cap)
     # Keep topology as NUMPY in the closure: the core is cached across jit
     # traces, and jnp constants created inside one trace would leak into
     # the next (UnexpectedTracerError).
@@ -559,6 +724,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         tab = jnp.pad(
             table_t, ((0, 0), (0, rec - r_used), (0, Fpad - F)))
 
+        # pass-A coefficient table + anchors
+        tab_a, anchors = jax.vmap(
+            lambda ct: _coeff_table(ct, p, H, W))(coords_t)
+
         # work lists from the transposed coords (screen xy + w rows)
         w_rows = coords_t[:, 3::4]                       # [B, 3, F]
         iw = 1.0 / jnp.where(jnp.abs(w_rows) > W_EPS, w_rows, W_EPS)
@@ -575,9 +744,9 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
              jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
         meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
 
-        kernel = _make_fwd_kernel(p, H, W)
-        outf, slot = pl.pallas_call(
-            kernel,
+        # ---- pass A: winning face index per pixel
+        slot = pl.pallas_call(
+            _make_passa_kernel(p),
             grid=(B, T),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
@@ -587,22 +756,43 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, p["g_pad"]), lambda b, t: (b, 0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2, nc), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[
-                pl.BlockSpec((1, 1, _PIX, rec),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, _PIX, 1),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, T, _PIX, rec), jnp.float32),
-                jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
-            ],
+            out_specs=pl.BlockSpec((1, 1, _PIX, 1),
+                                   lambda b, t: (b, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
             interpret=interpret,
-        )(meta, chunk_list[:, None], g_list[:, None], tab)
+        )(meta, chunk_list[:, None], g_list[:, None], anchors, tab_a)
+
+        # ---- compaction: distinct winning chunks per tile
+        wlist, wcnt = _winner_lists(slot[..., 0], p)
+        wmeta = jnp.stack(
+            [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
+             jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]  # [B, T, 1, 4]
+
+        # ---- pass B: extract winner records
+        outf = pl.pallas_call(
+            _make_passb_kernel(p),
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, p["wcap"]),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, _PIX, rec),
+                                   lambda b, t: (b, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, _PIX, rec), jnp.float32),
+            interpret=interpret,
+        )(wmeta, wlist[:, :, None], slot, tab)
 
         # [B, T, P, rec] -> [r_used, B, H, W]
         comp = outf[..., :r_used].reshape(
@@ -610,26 +800,25 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         comp = comp.transpose(5, 0, 1, 3, 2, 4).reshape(r_used, B, Hp, Wp)
         comp = comp[:, :, :H, :W]
         ids = jnp.round(comp[12]).astype(jnp.int32)
-        return comp, ids, slot[..., 0], meta, chunk_list, g_list
+        return comp, ids, slot, wmeta, wlist
 
     def core(clip, attr):
-        comp, ids, _, _, _, _ = _fwd_impl(clip, attr)
+        comp, ids, _, _, _ = _fwd_impl(clip, attr)
         return comp, ids
 
     def core_fwd(clip, attr):
-        comp, ids, slot, meta, chunk_list, g_list = _fwd_impl(clip, attr)
-        return (comp, ids), (slot, meta, chunk_list, g_list, clip.shape[0])
+        comp, ids, slot, wmeta, wlist = _fwd_impl(clip, attr)
+        return (comp, ids), (slot, wmeta, wlist, clip.shape[0])
 
     def core_bwd(res, cts):
         g_comp, _ = cts
-        slot, meta, chunk_list, g_list, B = res
+        slot, wmeta, wlist, B = res
 
         # [r, B, H, W] -> [B, T, rec, P]
         g = jnp.pad(g_comp, ((0, rec - r_used), (0, 0), (0, Hp - H),
                              (0, Wp - W)))
         g = g.reshape(rec, B, tiles_y, TILE_H, tiles_x, TILE_W)
         g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rec, _PIX)
-        slot_x = slot.reshape(B, T, _PIX, 1)
 
         kernel = _make_bwd_kernel(p)
         zeros = jnp.zeros((B, rec, Fpad), jnp.float32)
@@ -639,10 +828,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, p["pair_cap"]),
-                             lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, p["g_pad"]), lambda b, t: (b, 0, 0),
+                pl.BlockSpec((1, 1, 1, p["wcap"]),
+                             lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -658,10 +845,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={5: 0},
+            input_output_aliases={4: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(meta, chunk_list[:, None], g_list[:, None], slot_x, g, zeros)
+        )(wmeta, wlist[:, :, None], slot, g, zeros)
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
@@ -733,6 +920,7 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
 def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            *, max_span: int | None = None,
                            global_cap: int = 64, rows_budget: int | None = None,
+                           winner_cap: int = 128,
                            with_aa: bool = True, interpret: bool = False):
     """Deferred-path drop-in for api.render_pixels.
 
@@ -748,7 +936,7 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
 
     core = get_deferred_core(topo, C, H, W,
                              max_span=max_span, global_cap=global_cap,
-                             rows_budget=rows_budget,
+                             rows_budget=rows_budget, winner_cap=winner_cap,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret)
     comp, ids = core(clip, attr)

@@ -1,42 +1,35 @@
-"""Component timing for the deferred render path on device.
+"""Op-level device profile of the deferred HAM step (jax.profiler trace).
 
-Presets mirror bench.py; `ih` is the production workload geometry
-(334x512, 16 views, ~100k faces — `/root/reference/conf/ih_sfs.conf`).
+Runs the full loss fwd+bwd at a preset under jax.profiler.trace, then
+parses the perfetto trace.json.gz and prints the top device ops by total
+duration — the ground truth for where step time goes.
 """
 from __future__ import annotations
 
 import argparse
+import collections
+import glob
+import gzip
+import json
 import os
 import sys
-import time
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 PRESETS = {
-    # (H, W, n_views, subdiv, two_hands, base_refine)
     "full": (512, 512, 4, 2, False, 0),
-    "prod": (256, 256, 4, 3, False, 0),
     "ih": (334, 512, 16, 3, False, 1),
 }
 
 
-def timeit(fn, *args, iters=10):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="full", choices=sorted(PRESETS))
+    ap.add_argument("--preset", default="ih", choices=sorted(PRESETS))
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -56,20 +49,17 @@ def main():
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
     from fmhr_tpu.raster import apply_antialias
     from fmhr_tpu.raster.deferred import (
-        DeferredTopology, render_pixels_deferred, get_deferred_core,
-        audit_deferred_rows)
+        DeferredTopology, render_pixels_deferred, audit_deferred_rows)
 
     H, W, n_views, subdiv, two_hands, base_refine = PRESETS[args.preset]
     verts, faces, w2cs, projs = hand_scene(
         res=(H, W), n_views=n_views, subdiv=subdiv, two_hands=two_hands,
         base_refine=base_refine)
     V = verts.shape[0]
-    F = int(faces.shape[0])
     topo = MeshTopology.build(faces, V)
     topo_d = DeferredTopology.build(faces, V)
     edges = jnp.asarray(topo.edges)
     degrees = jnp.asarray(topo.degrees)
-
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((n_views, H, W, 3)), jnp.float32)
     masks = jnp.asarray((rng.random((n_views, H, W)) > 0.3).astype(np.float32))
@@ -80,48 +70,15 @@ def main():
     verts0 = jnp.asarray(verts); faces_j = jnp.asarray(faces)
     params = {"delta": jnp.zeros_like(verts0),
               "albedo": jnp.full_like(verts0, 0.5), "sh": sh}
-
     clip0 = project_verts(verts0, w2cs, projs)
-    C = 7
     _, budget = audit_deferred_rows(clip0, faces_j, (H, W))
-    core = get_deferred_core(topo_d, C, H, W, rows_budget=budget,
-                             shared_attr=True)
-    print(f"faces={F} budget={budget}", flush=True)
-
-    def mkattr(params):
-        v = verts0 + params["delta"]
-        normals = vertex_normals(v, faces_j)
-        return jnp.concatenate(
-            [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1)
-
-    attr0 = jax.jit(mkattr)(params)
-    B = n_views
-    gimg = jnp.asarray(rng.standard_normal(
-        (16 + 3 * C, B, H, W)), jnp.float32)
-
-    t = timeit(jax.jit(lambda c, a: core(c, a)[0]), clip0, attr0)
-    print(f"core fwd only                  : {t:8.2f} ms", flush=True)
-
-    def core_sum(c, a, g):
-        comp, _ = core(c, a)
-        return jnp.sum(comp * g)
-
-    t = timeit(jax.jit(jax.grad(core_sum, argnums=(0, 1))), clip0, attr0,
-               gimg)
-    print(f"core fwd+bwd (sum loss)        : {t:8.2f} ms", flush=True)
-
-    def render(c, a):
-        rast, feat, aa_w = render_pixels_deferred(
-            c, a, topo_d, (H, W), rows_budget=budget)
-        return rast, feat, aa_w
-
-    t = timeit(jax.jit(render), clip0, attr0)
-    print(f"render_pixels_deferred fwd     : {t:8.2f} ms", flush=True)
 
     def loss_fn(params):
         v = verts0 + params["delta"]
         clip = project_verts(v, w2cs, projs)
-        attr = mkattr(params)
+        normals = vertex_normals(v, faces_j)
+        attr = jnp.concatenate(
+            [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1)
         rast, feat, aa_w = render_pixels_deferred(
             clip, attr, topo_d, (H, W), rows_budget=budget)
         nrm = safe_normalize(feat[..., :3])
@@ -135,10 +92,48 @@ def main():
                 + 200.0 * laplacian_smoothing(v, edges, degrees)
                 + jnp.mean((pred_mask - masks) ** 2))
 
-    t = timeit(jax.jit(loss_fn), params)
-    print(f"full loss fwd                  : {t:8.2f} ms", flush=True)
-    t = timeit(jax.jit(jax.value_and_grad(loss_fn)), params)
-    print(f"full loss fwd+bwd              : {t:8.2f} ms", flush=True)
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    out = step(params)
+    jax.block_until_ready(out)
+
+    tdir = tempfile.mkdtemp(prefix="fmhr_trace_")
+    with jax.profiler.trace(tdir):
+        for _ in range(3):
+            out = step(params)
+        jax.block_until_ready(out)
+
+    files = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print("no trace file found under", tdir)
+        return
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device-lane events: pick pids whose process name mentions TPU/device
+    pid_name = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_name.items()
+                if "TPU" in n or "Device" in n or "/device" in n.lower()}
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        agg[name] += dur
+        cnt[name] += 1
+        total += dur
+    print(f"pids: { {p: pid_name.get(p, '?') for p in (dev_pids or set())} }")
+    print(f"total device time (3 steps): {total:.2f} ms")
+    for name, dur in agg.most_common(args.top):
+        print(f"{dur / 3.0:9.3f} ms  x{cnt[name] // 3:<4d} {name[:100]}")
 
 
 if __name__ == "__main__":

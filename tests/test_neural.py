@@ -85,6 +85,45 @@ def test_neural_training_learns():
 
 
 @pytest.mark.slow
+def test_neural_training_checkpoint_resume(tmp_path):
+    """Segmented orbax snapshots: a re-run under the same checkpoint_dir
+    restores both phases from their final snapshots (no recompute) and
+    reproduces the same final parameters; a run interrupted after phase 1
+    resumes into phase 2 without re-running phase 1."""
+    res = 32
+    m, verts, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res)
+    rays = np.broadcast_to(
+        np.array([0, 0, 1], np.float32), (imgs.shape[0], res, res, 3)
+    )
+    albedo = np.full_like(verts, 0.5)
+    kw = dict(num_epochs=4, batch=3, mlp_width=32, mlp_depth=2,
+              checkpoint_dir=str(tmp_path), checkpoint_every=2)
+    state, l1, l2, _ = train_neural_renderer(
+        imgs, masks, rays, w2cs, projs, verts, faces, albedo, **kw)
+    assert (tmp_path / "phase1").is_dir() and (tmp_path / "phase2").is_dir()
+    # mid-phase snapshots exist (not only the final one)
+    assert len(list((tmp_path / "phase1").glob("step_*"))) >= 2
+
+    state2, l1b, l2b, _ = train_neural_renderer(
+        imgs, masks, rays, w2cs, projs, verts, faces, albedo, **kw)
+    # everything restored, nothing re-run
+    assert l1b.size == 0 and l2b.size == 0
+    np.testing.assert_allclose(np.asarray(state.vertex_feat),
+                               np.asarray(state2.vertex_feat), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.vertices),
+                               np.asarray(state2.vertices), atol=1e-6)
+
+    # interrupted mid-run: drop phase2 snapshots, keep phase1 -> resume
+    import shutil
+    shutil.rmtree(tmp_path / "phase2")
+    state3, l1c, l2c, _ = train_neural_renderer(
+        imgs, masks, rays, w2cs, projs, verts, faces, albedo, **kw)
+    assert l1c.size == 0 and l2c.size > 0   # phase 1 skipped, phase 2 re-run
+    np.testing.assert_allclose(np.asarray(state.vertices),
+                               np.asarray(state3.vertices), atol=1e-5)
+
+
+@pytest.mark.slow
 def test_neural_training_unet_path():
     res = 48
     m, verts, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res, 4)
