@@ -78,5 +78,60 @@ def convert(pkl_path: str, npz_path: str) -> None:
           f"F={out['faces'].shape[0]} J={out['J_regressor'].shape[0]}")
 
 
+def convert_smplx(pkl_path: str, npz_path: str,
+                  num_pca_comps: int = 45) -> None:
+    """SMPL-X body .pkl -> .npz for :class:`fmhr_tpu.body.smplx.SmplxModel`.
+
+    Field mapping per `/root/reference/models/smplx.py:200-290`. The
+    kintree root parent arrives as 4294967295 (uint32 -1) and is kept as
+    -1 (the chain-walk convention of `find_joint_kin_chain`).
+    """
+    d = load_mano_pkl(pkl_path)
+    posedirs = _to_array(d["posedirs"])
+    num_pose = posedirs.shape[-1]
+    parents = np.asarray(d["kintree_table"])[0].astype(np.int64)
+    parents = np.where(parents > 1 << 31, -1, parents).astype(np.int32)
+
+    from .smplx import SMPLX_VERTEX_IDS, _EXTRA_ID_ORDER
+
+    extra = np.asarray([SMPLX_VERTEX_IDS[k] for k in _EXTRA_ID_ORDER],
+                       np.int32)
+    dyn_f = d.get("dynamic_lmk_faces_idx")
+    dyn_b = d.get("dynamic_lmk_bary_coords")
+    out = dict(
+        v_template=_to_array(d["v_template"]).astype(np.float32),
+        shapedirs=_to_array(d["shapedirs"]).astype(np.float32),
+        posedirs=np.reshape(posedirs, (-1, num_pose)).T.astype(np.float32),
+        J_regressor=_to_array(d["J_regressor"]).astype(np.float32),
+        lbs_weights=_to_array(d["weights"]).astype(np.float32),
+        parents=parents,
+        faces=_to_array(d["f"]).astype(np.int32),
+        left_hand_components=_to_array(
+            d["hands_componentsl"])[:num_pca_comps].astype(np.float32),
+        right_hand_components=_to_array(
+            d["hands_componentsr"])[:num_pca_comps].astype(np.float32),
+        left_hand_mean=_to_array(d["hands_meanl"]).reshape(-1).astype(
+            np.float32),
+        right_hand_mean=_to_array(d["hands_meanr"]).reshape(-1).astype(
+            np.float32),
+        extra_joints_idxs=extra,
+        lmk_faces_idx=_to_array(d["lmk_faces_idx"]).astype(np.int32),
+        lmk_bary_coords=_to_array(d["lmk_bary_coords"]).astype(np.float32),
+        dynamic_lmk_faces_idx=(
+            _to_array(dyn_f).astype(np.int32) if dyn_f is not None
+            else np.zeros((0, 0), np.int32)),
+        dynamic_lmk_bary_coords=(
+            _to_array(dyn_b).astype(np.float32) if dyn_b is not None
+            else np.zeros((0, 0, 3), np.float32)),
+    )
+    np.savez(npz_path, **out)
+    print(f"wrote {npz_path}: V={out['v_template'].shape[0]} "
+          f"F={out['faces'].shape[0]} J={out['J_regressor'].shape[0]}")
+
+
 if __name__ == "__main__":
-    convert(sys.argv[1], sys.argv[2])
+    if "--smplx" in sys.argv:
+        sys.argv.remove("--smplx")
+        convert_smplx(sys.argv[1], sys.argv[2])
+    else:
+        convert(sys.argv[1], sys.argv[2])

@@ -111,3 +111,84 @@ def synthetic_hand_model(seed: int = 0, is_rhand: bool = True) -> ManoModel:
         hand_components=hand_components,
         is_rhand=is_rhand,
     )
+
+
+# Synthetic SMPL-X-like body: 11 joints = root + spine(2) + head + 2 legs
+# + 2 arms of 2 "hand" joints each (the last 2+2 joints are the hand
+# blocks that PCA/pose_mean address).
+BODY_PARENTS = (-1, 0, 1, 2, 0, 0, 1, 6, 1, 8, 7, 9)
+
+
+def synthetic_body_model(seed: int = 0):
+    """Deterministic articulated tube-body with SMPL-X's tensor layout.
+
+    12 joints; the last 4 are 2 joints per hand, so hand PCA/mean blocks
+    are 6-dim. Includes static landmark embeddings on the head tube and a
+    79-row dynamic contour LUT (tiny: 2 landmarks), matching the
+    machinery of `/root/reference/models/smplx.py:200-290`.
+    """
+    from .smplx import SmplxModel
+
+    rng = np.random.default_rng(seed)
+    J = len(BODY_PARENTS)
+    joints = np.zeros((J, 3))
+    joints[1] = [0, 0.3, 0]     # spine1
+    joints[2] = [0, 0.6, 0]     # spine2
+    joints[3] = [0, 0.9, 0]     # head
+    joints[4] = [-0.15, -0.5, 0]  # l leg
+    joints[5] = [0.15, -0.5, 0]   # r leg
+    joints[6] = [-0.35, 0.55, 0]  # l shoulder->arm
+    joints[7] = [-0.65, 0.55, 0]  # l elbow
+    joints[8] = [0.35, 0.55, 0]   # r arm
+    joints[9] = [0.65, 0.55, 0]   # r elbow
+    joints[10] = [-0.9, 0.55, 0]  # l hand
+    joints[11] = [0.9, 0.55, 0]   # r hand
+
+    segs = [(0, 1), (1, 2), (2, 3), (0, 4), (0, 5),
+            (1, 6), (6, 7), (7, 10), (1, 8), (8, 9), (9, 11)]
+    verts_list, faces_list = [], []
+    for a, b in segs:
+        v, fc = _tube(joints[a], joints[b], 0.07, 6, 2)
+        faces_list.append(fc + sum(len(x) for x in verts_list))
+        verts_list.append(v)
+    v_template = np.concatenate(verts_list).astype(np.float32)
+    faces = np.concatenate(faces_list).astype(np.int32)
+    V = v_template.shape[0]
+
+    d = np.linalg.norm(v_template[:, None] - joints[None], axis=2)
+    w = np.exp(-(d / 0.2) ** 2) + 1e-6
+    lbs_weights = (w / w.sum(1, keepdims=True)).astype(np.float32)
+    jr = np.exp(-(d.T / 0.08) ** 2) + 1e-9
+    J_regressor = (jr / jr.sum(1, keepdims=True)).astype(np.float32)
+
+    shapedirs = (rng.normal(size=(V, 3, 8)) * 0.01).astype(np.float32)
+    posedirs = (rng.normal(size=((J - 1) * 9, V * 3)) * 0.001).astype(
+        np.float32)
+    nh = 2 * 3  # 2 hand joints per side
+    lh_mean = (rng.normal(size=nh) * 0.05).astype(np.float32)
+    rh_mean = (rng.normal(size=nh) * 0.05).astype(np.float32)
+    lh_comp = np.linalg.qr(rng.normal(size=(nh, nh)))[0].astype(np.float32)
+    rh_comp = np.linalg.qr(rng.normal(size=(nh, nh)))[0].astype(np.float32)
+
+    # extra keypoints: one vertex per tube end
+    extra_idxs = np.asarray([5, 40, 95, 150], np.int32)
+    # static landmarks: first faces of the head tube, simple barycoords
+    head_face0 = 2 * 2 * 6 * 2  # two tubes before the head tube
+    L = 3
+    lmk_faces = (head_face0 + np.arange(L)).astype(np.int32)
+    lmk_bary = np.full((L, 3), 1.0 / 3.0, np.float32)
+    dyn_faces = np.tile(lmk_faces[:2][None], (79, 1)).astype(np.int32)
+    dyn_faces += np.arange(79, dtype=np.int32)[:, None] % 3
+    b0 = rng.random((79, 2, 3)).astype(np.float32) + 0.1
+    dyn_bary = (b0 / b0.sum(-1, keepdims=True)).astype(np.float32)
+
+    return SmplxModel(
+        v_template=v_template, shapedirs=shapedirs, posedirs=posedirs,
+        J_regressor=J_regressor, lbs_weights=lbs_weights,
+        parents=BODY_PARENTS, faces=faces,
+        left_hand_components=lh_comp, right_hand_components=rh_comp,
+        left_hand_mean=lh_mean, right_hand_mean=rh_mean,
+        extra_joints_idxs=extra_idxs,
+        lmk_faces_idx=lmk_faces, lmk_bary_coords=lmk_bary,
+        dynamic_lmk_faces_idx=dyn_faces, dynamic_lmk_bary_coords=dyn_bary,
+    )
