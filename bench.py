@@ -51,6 +51,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="prod", choices=sorted(PRESETS))
     ap.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
+    ap.add_argument("--roofline", action="store_true",
+                    help="add per-kernel roofline bounds to the JSON")
     args = ap.parse_args()
 
     if args.platform:
@@ -108,7 +110,7 @@ def main() -> None:
 
     # auto-size the deferred record budget once at setup (static after)
     from fmhr_tpu.raster.deferred import audit_deferred_rows
-    _, rows_budget = audit_deferred_rows(
+    live_pairs, rows_budget = audit_deferred_rows(
         project_verts(verts0, w2cs, projs), faces_j, (H, W))
 
     # imgs/masks are step ARGUMENTS, not closure constants: baking ~44MB
@@ -184,6 +186,32 @@ def main() -> None:
             "device": str(jax.devices()[0]),
         },
     }
+
+    if args.roofline:
+        # winner pairs = distinct winning 128-face chunks per 8x128 tile
+        from fmhr_tpu.utils.roofline import deferred_roofline
+        clip = project_verts(verts0 + params["delta"], w2cs, projs)
+        rast, _, _ = render_pixels(
+            clip,
+            jnp.ones((V, 7), jnp.float32),
+            faces_j, (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+        )
+        ids = np.asarray(rast[..., 3]).astype(np.int64)
+        Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
+        idp = np.zeros((n_views, Hp, Wp), np.int64)
+        idp[:, :H, :W] = ids
+        tiles = idp.reshape(n_views, Hp // 8, 8, Wp // 128, 128)
+        tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(n_views, -1, 1024)
+        chunk = np.where(tiles > 0, (tiles - 1) // 128, -1)
+        pairs_b = sum(
+            len(np.unique(t[t >= 0])) for v in chunk for t in v
+        )
+        out["extra"]["roofline"] = deferred_roofline(
+            B=n_views, H=H, W=W, F=int(faces.shape[0]), C=7,
+            pairs_a=int(np.sum(live_pairs)), pairs_b=int(pairs_b),
+            fwd_ms=None, bwd_ms=None)
+        out["extra"]["roofline"]["pairs_a"] = int(np.sum(live_pairs))
+        out["extra"]["roofline"]["pairs_b"] = int(pairs_b)
     print(json.dumps(out))
 
 
