@@ -61,8 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .geometry import W_EPS, AREA_EPS
 
-TILE_H = 8
-TILE_W = 128
+# Pixel-tile shape (P = TILE_H*TILE_W pixels per kernel grid step). The
+# per-chunk pair count scales like (bbox_x + TILE_W)(bbox_y + TILE_H);
+# for the ~16px chunk footprints of production meshes a square 32x32
+# tile yields ~16% fewer (tile, chunk) pairs than the VREG-shaped 8x128
+# (measured via audit_deferred_rows at ih geometry). The kernels are
+# shape-agnostic: pixels map to (row, col) by index arithmetic only.
+TILE_H = 32
+TILE_W = 32
 _PIX = TILE_H * TILE_W
 _BIG = np.float32(3.0e38)
 _NEG = np.float32(-1.0e30)  # invalid-face C0 marker (headroom vs bf16x6)
