@@ -218,7 +218,10 @@ def run_ham(
         if cfg.raster_capacity else {}
     )
     # auto-size the deferred record budget once at setup (static after;
-    # VERDICT: no silent drops — the audit sizes for the actual scene)
+    # VERDICT: no silent drops — the audit sizes for the actual scene).
+    # Note: faces stay in subdivision order — its contiguous 4^k child
+    # patches bin TIGHTER than Morton/Hilbert centroid orders at
+    # subpixel density (measured 16.0k vs 21.3k/21.0k pairs at ih).
     from ..raster.deferred import audit_deferred_rows
 
     clip0 = project_verts(vertices, w2cs, projs)

@@ -215,8 +215,9 @@ def interpolate(attr, rast, faces):
 _DEFERRED_TOPO_CACHE: dict = {}
 
 
-def _deferred_topology_for(faces, num_vertices: int):
-    """Host-side DeferredTopology cache keyed by face-array content.
+def _deferred_topology_for(faces, num_vertices: int, face_order=None):
+    """Host-side DeferredTopology cache keyed by face-array content
+    (+ the optional static face permutation, see `face_order_morton`).
 
     Returns None when `faces` is a traced value (cannot build host-side).
     """
@@ -226,12 +227,16 @@ def _deferred_topology_for(faces, num_vertices: int):
         f_np = np.asarray(faces, np.int32)
     except Exception:
         return None
-    key = (f_np.shape[0], int(num_vertices), hash(f_np.tobytes()))
+    okey = None
+    if face_order is not None:
+        face_order = np.asarray(face_order, np.int32)
+        okey = hash(face_order.tobytes())
+    key = (f_np.shape[0], int(num_vertices), hash(f_np.tobytes()), okey)
     topo = _DEFERRED_TOPO_CACHE.get(key)
     if topo is None:
         from .deferred import DeferredTopology
 
-        topo = DeferredTopology.build(f_np, num_vertices)
+        topo = DeferredTopology.build(f_np, num_vertices, order=face_order)
         _DEFERRED_TOPO_CACHE[key] = topo
     return topo
 
@@ -261,7 +266,8 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
     if impl in ("auto", "deferred"):
         on_cpu = jax.default_backend() == "cpu"
         if impl == "deferred" or not on_cpu:
-            topo_d = _deferred_topology_for(faces, clip.shape[1])
+            topo_d = _deferred_topology_for(
+                faces, clip.shape[1], face_order=kw.get("face_order"))
             if topo_d is not None:
                 from .deferred import render_pixels_deferred
 
@@ -273,6 +279,7 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
                     interpret=on_cpu)
     kw.pop("rows_budget", None)
     kw.pop("max_span", None)
+    kw.pop("face_order", None)
 
     faces = jnp.asarray(faces, jnp.int32)
     h, w = resolution

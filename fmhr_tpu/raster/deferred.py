@@ -80,6 +80,43 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def face_order_morton(clip0, faces, resolution):
+    """Static face permutation by Morton code of the screen centroid.
+
+    clip0: ONE representative view's concrete clip verts [V, 4] (e.g.
+    from the setup-time audit render); faces [F, 3].
+
+    MEASURED NEGATIVE at production density: Loop-subdivision order
+    (contiguous 4^k child patches) bins TIGHTER than Morton or Hilbert
+    centroid orders (16.0k vs 21.3k/21.0k pairs at ih geometry), so no
+    caller applies this by default. Kept for non-subdivision meshes
+    whose native face order is incoherent — pass the result as
+    `face_order` to `render_pixels` / `DeferredTopology.build(order=)`;
+    external face ids in `rast[..., 3]` are order-invariant.
+    """
+    H, W = resolution
+    clip0 = np.asarray(clip0)
+    faces = np.asarray(faces, np.int64)
+    w = clip0[:, 3:4]
+    w = np.where(np.abs(w) > W_EPS, w, W_EPS)
+    x = (clip0[:, 0:1] / w + 1.0) * (W * 0.5)
+    y = (clip0[:, 1:2] / w + 1.0) * (H * 0.5)
+    cx = x[faces].mean(1)[:, 0]
+    cy = y[faces].mean(1)[:, 0]
+    qx = np.clip((cx / max(W, 1) * 1024), 0, 1023).astype(np.uint32)
+    qy = np.clip((cy / max(H, 1) * 1024), 0, 1023).astype(np.uint32)
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = (spread(qx) << 1) | spread(qy)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class DeferredTopology:
     """Host-side static topology for the deferred renderer.
@@ -87,16 +124,28 @@ class DeferredTopology:
     vert_incidence[v] lists the (face*3 + corner) slots that reference
     vertex v (sentinel 3*F for padding) -- the backward face->vertex
     reduction is a dense gather over this table instead of a scatter.
+
+    With `order` (see `face_order_morton`), faces are stored permuted
+    for tighter chunk bboxes; `ext_face_ids` keeps the EXTERNAL
+    (original) 1-based ids so `rast[..., 3]` is order-invariant.
     """
 
-    faces: np.ndarray          # [F, 3] int32
+    faces: np.ndarray          # [F, 3] int32 (possibly permuted)
     face_edge_ids: np.ndarray  # [F, 3] int32 (k=0:(v0,v1), 1:(v1,v2), 2:(v2,v0))
     vert_incidence: np.ndarray  # [V, D] int32, sentinel = 3*F
     num_vertices: int
+    ext_face_ids: np.ndarray   # [F] float32, original face id + 1
 
     @classmethod
-    def build(cls, faces, num_vertices: int) -> "DeferredTopology":
+    def build(cls, faces, num_vertices: int,
+              order=None) -> "DeferredTopology":
         faces = np.asarray(faces, np.int32)
+        if order is not None:
+            order = np.asarray(order, np.int32)
+            faces = faces[order]
+            ext_ids = (order + 1).astype(np.float32)
+        else:
+            ext_ids = np.arange(1, faces.shape[0] + 1, dtype=np.float32)
         F = faces.shape[0]
         V = int(num_vertices)
         # edge ids (same construction as antialias.AATopology)
@@ -119,7 +168,7 @@ class DeferredTopology:
         col = np.arange(len(flat)) - starts[sorted_v]
         inc[for_rows, col] = order
         return cls(faces=faces, face_edge_ids=eids, vert_incidence=inc,
-                   num_vertices=V)
+                   num_vertices=V, ext_face_ids=ext_ids)
 
 
 def default_max_span(F: int, H: int, W: int) -> int:
@@ -721,8 +770,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             attr_t = af.transpose(2, 1, 3, 0).reshape(B, 3 * C, F)
 
         ids_row = jnp.broadcast_to(
-            jnp.arange(1, F + 1, dtype=jnp.float32)[None, None, :],
-            (B, 1, F))
+            jnp.asarray(topo.ext_face_ids)[None, None, :], (B, 1, F))
         eids_row = jnp.broadcast_to(
             jnp.asarray(eids_np.T)[None], (B, 3, F))
         table_t = jnp.concatenate([coords_t, ids_row, eids_row, attr_t],

@@ -176,3 +176,30 @@ def test_deferred_globals_path():
         np.asarray(rast_x[..., 3]), np.asarray(rast_d[..., 3]))
     np.testing.assert_allclose(
         np.asarray(feat_x), np.asarray(feat_d), atol=1e-5, rtol=1e-5)
+
+
+def test_deferred_face_order(scene):
+    """A static face permutation (DeferredTopology order=...) must be
+    externally invisible: identical rast (incl. ORIGINAL face ids),
+    features, and AA output vs the unpermuted topology."""
+    clip, faces, attr = scene
+    res = (32, 256)
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(faces.shape[0]).astype(np.int32)
+    topo = DeferredTopology.build(faces, attr.shape[0])
+    topo_p = DeferredTopology.build(faces, attr.shape[0], order=perm)
+
+    rast_a, feat_a, aa_a = render_pixels_deferred(
+        clip, attr, topo, res, max_span=8, interpret=True)
+    rast_b, feat_b, aa_b = render_pixels_deferred(
+        clip, attr, topo_p, res, max_span=8, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(rast_a[..., 3]), np.asarray(rast_b[..., 3]))
+    np.testing.assert_allclose(
+        np.asarray(rast_a), np.asarray(rast_b), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(feat_a), np.asarray(feat_b), atol=1e-5, rtol=1e-5)
+    out_a = apply_antialias(feat_a, aa_a)
+    out_b = apply_antialias(feat_b, aa_b)
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), atol=1e-5, rtol=1e-5)
