@@ -53,6 +53,9 @@ def main() -> None:
     ap.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
     ap.add_argument("--roofline", action="store_true",
                     help="add per-kernel roofline bounds to the JSON")
+    ap.add_argument("--impl", default=None,
+                    help="force a rasterizer backend (e.g. binned) instead "
+                         "of the deferred Pallas path")
     args = ap.parse_args()
 
     if args.platform:
@@ -124,6 +127,7 @@ def main() -> None:
             clip,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             faces_j, (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            **({"impl": args.impl} if args.impl else {}),
         )
         nrm = safe_normalize(feat[..., :3])
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
@@ -225,8 +229,11 @@ def supervised() -> int:
     attempts = int(os.environ.get("FMHR_BENCH_ATTEMPTS", "3"))
     per_attempt = int(os.environ.get("FMHR_BENCH_TIMEOUT_S", "540"))
     backoff = int(os.environ.get("FMHR_BENCH_BACKOFF_S", "240"))
-    argv = [sys.executable, os.path.abspath(__file__), "--_worker"] + sys.argv[1:]
-    for i in range(attempts):
+    base = [sys.executable, os.path.abspath(__file__), "--_worker"] + sys.argv[1:]
+    # last-resort attempt falls back to the pure-XLA binned rasterizer so a
+    # Mosaic compile regression degrades the number instead of the round
+    plans = [base] * attempts + [base + ["--impl", "binned"]]
+    for i, argv in enumerate(plans):
         try:
             proc = subprocess.run(argv, timeout=per_attempt,
                                   capture_output=True, text=True)
@@ -238,7 +245,7 @@ def supervised() -> int:
             sys.stderr.write(proc.stderr[-2000:] + "\n")
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"bench attempt {i + 1} timed out\n")
-        if i + 1 < attempts:
+        if i + 1 < len(plans):
             time.sleep(backoff)
     return 1
 
