@@ -134,7 +134,15 @@ def _aa_axis_weights(ids, zw, su, sv, w_ok, eids, u_centers, v_centers, axis):
     sQ, vQ = _side_crossing(su_q, sv_q, covered_q, wok_q, shared_q,
                             v_centers, u_p, u_q)
 
-    use_p = vP & (~vQ | (zw_p <= zw_q))
+    # Depth-tie pairs (e.g. the two surfaces meeting at a silhouette rim)
+    # get a DETERMINISTIC side preference by face id instead of an
+    # fp-noise-sensitive zw comparison: a 1-ulp zw difference between two
+    # numerically different but equivalent render paths must not flip
+    # which side's crossing is used.
+    tie = 1e-6 * (jnp.abs(zw_p) + jnp.abs(zw_q)) + 1e-12
+    near = jnp.abs(zw_p - zw_q) <= tie
+    prefer_p = jnp.where(near, ids_p <= ids_q, zw_p <= zw_q)
+    use_p = vP & (~vQ | prefer_p)
     s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
     valid = jax.lax.stop_gradient(pair_active & (vP | vQ))
 

@@ -20,18 +20,25 @@ three-stage design (pass A / compact / pass B):
 - **Compaction (XLA)**: two tiny sorts turn the slot map into per-tile
   lists of DISTINCT winning chunks (~half the binned chunks; zero for
   background tiles).
-- **Pass B (extraction)** visits only winning chunks: DMA the full
-  record ([12 clip coords, id, 3 AA edge ids, 3xC attrs] per face),
-  one-hot MXU matmul extracts the winner's whole record per pixel.
-  Downstream barycentric/interpolation/antialias math is plain fused
-  elementwise XLA with no gathers at all.
-- **Backward** reuses the winner lists: per tile, gradients w.r.t. the
-  winner components reduce to per-face sums over won pixels = one-hot
-  matmuls accumulated (read-modify-write over the sequential grid)
-  DIRECTLY into face-table layout [rec, F]. No scatter-adds and no
-  segment reduction anywhere on the pixel-sized path; faces reduce to
+- **Pass B (extraction + shading)** visits only winning chunks: DMA the
+  full record ([12 clip coords, id, 3 AA edge ids, 3xC attrs] per
+  face), a one-hot MXU matmul lands the winner's record TRANSPOSED
+  ([rec, P]), and the kernel finishes perspective-correct barycentrics
+  + feature interpolation as ~40 cheap [1, P] row ops, emitting final
+  per-pixel values (u, v, zw, corner screen coords for AA, features,
+  ids/edge ids). Only the antialias pass (cross-pixel neighbors) stays
+  in XLA; nothing pixel-sized is gathered and the raw-record tensor is
+  never materialized.
+- **Backward** is a HAND-WRITTEN VJP: per tile, the kernel re-extracts
+  the winners' records, back-propagates the shading math on [1, P]
+  rows (mirroring XLA autodiff of the same formulas, eps-gates
+  included), and reduces the record gradients by one-hot matmuls
+  accumulated (read-modify-write over the sequential grid) DIRECTLY
+  into face-table layout [rec, F]. No scatter-adds and no segment
+  reduction anywhere on the pixel-sized path; faces reduce to
   vertices/attributes by a STATIC vertex->(face, corner) incidence
-  gather.
+  gather. Verified against XLA autodiff of the oracle path in
+  tests/test_deferred.py::test_deferred_gradients_match_xla.
 
 Binning happens at CHUNK granularity: tile t's work list is the set of
 128-face chunks whose tile bbox touches t. Mesh face order is spatially
@@ -203,6 +210,10 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
     r_used = 16 + 3 * C       # 12 coords, id, 3 eids, 3xC attrs
     rec = _round_up(r_used, 8)
     rec_a = 16                # 12 affine coefficient rows + pad (pass A)
+    # pass-B shaded output rows: u v zw | sx0..2 sy0..2 | feat C |
+    # id eids(3) wok
+    rows_used = 14 + C
+    rows_out = _round_up(rows_used, 8)
     nc = max(1, math.ceil(F / _CHUNK))
     Fpad = nc * _CHUNK
     lossless = min(nc * max_span, T * nc)
@@ -215,6 +226,7 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
                 rec=rec, rec_a=rec_a, nc=nc, Fpad=Fpad, pair_cap=pair_cap,
                 g_cap=global_cap, g_pad=g_pad, wcap=wcap,
+                rows_used=rows_used, rows_out=rows_out, H=H, W=W,
                 Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
 
 
@@ -341,11 +353,11 @@ def _coeff_table(coords_t, p, H, W):
     """
     F = coords_t.shape[1]
     nc, Fpad = p["nc"], p["Fpad"]
-    w = coords_t[3::4]                               # [3, F]
+    w = coords_t[9:12]                               # [3, F]
     iw = 1.0 / jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
-    sx = coords_t[0::4] * iw
-    sy = coords_t[1::4] * iw
-    zf = coords_t[2::4] * iw                         # z/w per corner
+    sx = coords_t[0:3] * iw
+    sy = coords_t[3:6] * iw
+    zf = coords_t[6:9] * iw                          # z/w per corner
     x = (sx + 1.0) * (W * 0.5)                       # pixel units
     y = (sy + 1.0) * (H * 0.5)
 
@@ -553,69 +565,160 @@ def _winner_lists(slot, p):
 
 
 # --------------------------------------------------------------------------
-# Pass B: winner record extraction
+# Pass B: winner record extraction + in-kernel interpolation
 # --------------------------------------------------------------------------
 
-def _make_passb_kernel(p):
-    """Per-tile record extraction over DISTINCT winning chunks only.
+def _pix_ndc(p, t):
+    """Pixel-center NDC coords of tile t as ([1, P] px, [1, P] py).
 
-    Each winning chunk's [rec, K] record block is DMAed once; the
-    winner's record columns are extracted by a one-hot MXU matmul and
-    accumulated (each pixel matches exactly one chunk). Background tiles
-    (wcnt = 0) cost nothing.
+    Bit-matches geometry.pixel_ndc: (i + 0.5) * (2/W) - 1.
     """
+    tiles_x = p["tiles_x"]
+    H, W = p["H"], p["W"]
+    ty = t // tiles_x
+    tx = t % tiles_x
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, _PIX), 1)
+    col = (jax.lax.rem(pidx, TILE_W) + tx * TILE_W).astype(jnp.float32)
+    row = (pidx // TILE_W + ty * TILE_H).astype(jnp.float32)
+    px = (col + 0.5) * np.float32(2.0 / W) - 1.0
+    py = (row + 0.5) * np.float32(2.0 / H) - 1.0
+    return px, py
+
+
+def _shade_rows(recm, px, py, C):
+    """Forward shading math on [*, P] row slabs of the extracted records.
+
+    Formulas bit-match api.barycentrics_from_context + the interpolation
+    in the XLA render path (same safe-eps rules), so the deferred path
+    stays allclose to the naive oracle. Returns a dict of intermediates
+    (the VJP recomputes through this).
+    """
+    x = [recm[k:k + 1] for k in range(0, 3)]
+    y = [recm[k:k + 1] for k in range(3, 6)]
+    z = [recm[k:k + 1] for k in range(6, 9)]
+    w = [recm[k:k + 1] for k in range(9, 12)]
+    w_in = [jnp.abs(wk) > W_EPS for wk in w]
+    iw = [1.0 / jnp.where(ok, wk, W_EPS) for ok, wk in zip(w_in, w)]
+    sx = [xk * iwk for xk, iwk in zip(x, iw)]
+    sy = [yk * iwk for yk, iwk in zip(y, iw)]
+    zf = [zk * iwk for zk, iwk in zip(z, iw)]
+    d = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sx[2] - sx[0]) * (sy[1] - sy[0])
+    d_ok = jnp.abs(d) > AREA_EPS
+    safe_d = jnp.where(d_ok, d, AREA_EPS)
+    n0 = (sx[1] - px) * (sy[2] - py) - (sx[2] - px) * (sy[1] - py)
+    n1 = (sx[2] - px) * (sy[0] - py) - (sx[0] - px) * (sy[2] - py)
+    l0 = n0 / safe_d
+    l1 = n1 / safe_d
+    l2 = 1.0 - l0 - l1
+    lw = [l0 * iw[0], l1 * iw[1], l2 * iw[2]]
+    den = lw[0] + lw[1] + lw[2]
+    den_ok = jnp.abs(den) > W_EPS
+    safe_den = jnp.where(den_ok, den, W_EPS)
+    u = lw[0] / safe_den
+    v = lw[1] / safe_den
+    zw = l0 * zf[0] + l1 * zf[1] + l2 * zf[2]
+    idf = recm[12:13]
+    m = idf > 0.5
+    a0 = recm[16:16 + C]
+    a1 = recm[16 + C:16 + 2 * C]
+    a2 = recm[16 + 2 * C:16 + 3 * C]
+    feat = u * a0 + v * a1 + (1.0 - u - v) * a2          # [C, P]
+    wokf = ((w[0] > 0) & (w[1] > 0) & (w[2] > 0)).astype(jnp.float32)
+    return dict(x=x, y=y, z=z, w=w, w_in=w_in, iw=iw, sx=sx, sy=sy,
+                zf=zf, d=d, d_ok=d_ok, safe_d=safe_d, l=[l0, l1, l2],
+                lw=lw, den_ok=den_ok, safe_den=safe_den, u=u, v=v,
+                zw=zw, idf=idf, m=m, a=[a0, a1, a2], feat=feat,
+                wokf=wokf)
+
+
+def _extract_loop(p, b, wcnt, wlist_ref, slot_col, tab_hbm, tri_buf, sems):
+    """Accumulate the winners' [rec, P] record slab over winning chunks
+    (one-hot MXU matmul per chunk, double-buffered DMA)."""
     rec = p["rec"]
     K = _CHUNK
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, tab_hbm, outf_ref):
+    def dma(slot_i, ci):
+        k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
+        return pltpu.make_async_copy(
+            tab_hbm.at[b, :, pl.ds(k0, K)], tri_buf.at[slot_i],
+            sems.at[slot_i])
+
+    @pl.when(wcnt > 0)
+    def _():
+        dma(0, 0).start()
+
+    def loop(ci, recm):
+        sl = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < wcnt)
+        def _():
+            dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        dma(sl, ci).wait()
+        c = wlist_ref[0, 0, 0, ci]
+        onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
+        # HIGHEST: bf16 would round face/edge ids > 256 to even and
+        # quantize coords
+        recm = recm + jax.lax.dot_general(
+            tri_buf[sl], onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                            # [rec, P]
+        return recm
+
+    return jax.lax.fori_loop(
+        0, wcnt, loop, jnp.zeros((p["rec"], _PIX), jnp.float32))
+
+
+def _make_passb_kernel(p, C):
+    """Per-tile extraction + barycentrics + interpolation over DISTINCT
+    winning chunks only.
+
+    The one-hot matmul lands TRANSPOSED ([rec, P]): every per-pixel
+    quantity is then a [1, P] row op on the VPU (8 vregs each), so the
+    whole interpolation adds ~40 cheap row ops per tile instead of
+    pixel-sized XLA tensors downstream. Output rows (`rows_used`):
+    u v zw | sx0 sx1 sx2 sy0 sy1 sy2 | feat[C] | id eid0 eid1 eid2 wok.
+    Background tiles (wcnt = 0) cost nothing.
+    """
+
+    def kernel(wmeta_ref, wlist_ref, slot_ref, tab_hbm, pix_ref):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] VMEM int32; tab_hbm [B, rec, Fpad] ANY
-        # outf_ref [1,1,P,rec] VMEM f32
+        # pix_ref [1,1,rows_out,P] VMEM f32
         b = pl.program_id(0)
+        t = pl.program_id(1)
         wcnt = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]                    # [P, 1]
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
         def body(tri_buf, sems):
-            def dma(slot_i, ci):
-                k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
-                return pltpu.make_async_copy(
-                    tab_hbm.at[b, :, pl.ds(k0, K)],
-                    tri_buf.at[slot_i],
-                    sems.at[slot_i],
-                )
-
-            @pl.when(wcnt > 0)
-            def _():
-                dma(0, 0).start()
-
-            def loop(ci, comp):
-                sl = jax.lax.rem(ci, 2)
-
-                @pl.when(ci + 1 < wcnt)
-                def _():
-                    dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
-
-                dma(sl, ci).wait()
-                c = wlist_ref[0, 0, 0, ci]
-                onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
-                # HIGHEST: bf16 would round face/edge ids > 256 to even
-                # and quantize coords
-                comp = comp + jax.lax.dot_general(
-                    onehot, tri_buf[sl],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                    # [P, rec]
-                return comp
-
-            comp = jax.lax.fori_loop(
-                0, wcnt, loop, jnp.zeros((_PIX, rec), jnp.float32))
-            outf_ref[0, 0] = comp
+            recm = _extract_loop(p, b, wcnt, wlist_ref, slot_col,
+                                 tab_hbm, tri_buf, sems)
+            px, py = _pix_ndc(p, t)
+            f = _shade_rows(recm, px, py, C)
+            m = f["m"]
+            zero = jnp.zeros((1, _PIX), jnp.float32)
+            pix_ref[0, 0, 0:1] = jnp.where(m, f["u"], zero)
+            pix_ref[0, 0, 1:2] = jnp.where(m, f["v"], zero)
+            pix_ref[0, 0, 2:3] = jnp.where(m, f["zw"], zero)
+            for k in range(3):
+                pix_ref[0, 0, 3 + k:4 + k] = f["sx"][k]
+                pix_ref[0, 0, 6 + k:7 + k] = f["sy"][k]
+            pix_ref[0, 0, 9:9 + C] = jnp.where(
+                m, f["feat"], jnp.zeros((C, _PIX), jnp.float32))
+            pix_ref[0, 0, 9 + C:10 + C] = f["idf"]
+            pix_ref[0, 0, 10 + C:13 + C] = recm[13:16]   # eids
+            pix_ref[0, 0, 13 + C:14 + C] = f["wokf"]
+            rows_used, rows_out = p["rows_used"], p["rows_out"]
+            if rows_out > rows_used:
+                pix_ref[0, 0, rows_used:rows_out] = jnp.zeros(
+                    (rows_out - rows_used, _PIX), jnp.float32)
 
         pl.run_scoped(
             body,
-            tri_buf=pltpu.VMEM((2, rec, K), jnp.float32),
+            tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
             sems=pltpu.SemaphoreType.DMA((2,)),
         )
 
@@ -623,15 +726,106 @@ def _make_passb_kernel(p):
 
 
 # --------------------------------------------------------------------------
-# Backward kernel
+# Backward kernel (hand-written VJP of _shade_rows + face-table reduction)
 # --------------------------------------------------------------------------
 
-def _make_bwd_kernel(p):
-    """Per-tile grad reduction straight into face-table layout:
-    g_tab[:, f] += sum_p onehot(slot_p == f) g[:, p] over the tile's
+def _shade_vjp(recm, g, px, py, C):
+    """Cotangents of _shade_rows outputs -> cotangents of the record rows.
+
+    recm: [rec, P] winners' records; g: [rows_out, P] output cotangents
+    in the pass-B row layout. Returns the list of [*, P] gradient rows
+    matching record layout (id/eids rows zero). Mirrors XLA autodiff of
+    the same formulas, including the where-eps gates (d/den/w in the
+    clamped region contribute NO gradient, like autodiff of
+    `jnp.where(ok, v, eps)`).
+    """
+    f = _shade_rows(recm, px, py, C)
+    iw, sx, sy, zf = f["iw"], f["sx"], f["sy"], f["zf"]
+    l0, l1, l2 = f["l"]
+    u, v = f["u"], f["v"]
+    safe_d, safe_den = f["safe_d"], f["safe_den"]
+    mf = f["m"].astype(jnp.float32)
+    a0, a1, a2 = f["a"]
+
+    gu = g[0:1] * mf
+    gv = g[1:2] * mf
+    gzw = g[2:3] * mf
+    gsx = [g[3 + k:4 + k] for k in range(3)]
+    gsy = [g[6 + k:7 + k] for k in range(3)]
+    gfeat = g[9:9 + C] * mf                            # [C, P]
+
+    # feat = u a0 + v a1 + (1-u-v) a2
+    ubar = gu + jnp.sum(gfeat * (a0 - a2), axis=0, keepdims=True)
+    vbar = gv + jnp.sum(gfeat * (a1 - a2), axis=0, keepdims=True)
+    ga0 = gfeat * u
+    ga1 = gfeat * v
+    ga2 = gfeat * (1.0 - u - v)
+
+    # u = lw0/safe_den, v = lw1/safe_den; den = lw0+lw1+lw2
+    common = (ubar * u + vbar * v) / safe_den
+    common = jnp.where(f["den_ok"], common, 0.0)
+    lwbar = [ubar / safe_den - common,
+             vbar / safe_den - common,
+             -common]
+
+    # lw_k = l_k iw_k ; zw = sum l_k zf_k ; l2 = 1 - l0 - l1
+    lbar_d = [lwbar[0] * iw[0] + gzw * zf[0],
+              lwbar[1] * iw[1] + gzw * zf[1],
+              lwbar[2] * iw[2] + gzw * zf[2]]
+    zfbar = [gzw * l0, gzw * l1, gzw * l2]
+    iwbar = [lwbar[0] * l0, lwbar[1] * l1, lwbar[2] * l2]
+    l0bar = lbar_d[0] - lbar_d[2]
+    l1bar = lbar_d[1] - lbar_d[2]
+
+    # l0 = n0/safe_d, l1 = n1/safe_d
+    n0bar = l0bar / safe_d
+    n1bar = l1bar / safe_d
+    dbar = jnp.where(f["d_ok"], -(l0bar * l0 + l1bar * l1) / safe_d, 0.0)
+
+    sxb = list(gsx)
+    syb = list(gsy)
+    # n0 = (sx1-px)(sy2-py) - (sx2-px)(sy1-py)
+    sxb[1] = sxb[1] + n0bar * (sy[2] - py)
+    syb[2] = syb[2] + n0bar * (sx[1] - px)
+    sxb[2] = sxb[2] - n0bar * (sy[1] - py)
+    syb[1] = syb[1] - n0bar * (sx[2] - px)
+    # n1 = (sx2-px)(sy0-py) - (sx0-px)(sy2-py)
+    sxb[2] = sxb[2] + n1bar * (sy[0] - py)
+    syb[0] = syb[0] + n1bar * (sx[2] - px)
+    sxb[0] = sxb[0] - n1bar * (sy[2] - py)
+    syb[2] = syb[2] - n1bar * (sx[0] - px)
+    # d = (sx1-sx0)(sy2-sy0) - (sx2-sx0)(sy1-sy0)
+    sxb[1] = sxb[1] + dbar * (sy[2] - sy[0])
+    syb[2] = syb[2] + dbar * (sx[1] - sx[0])
+    sxb[2] = sxb[2] - dbar * (sy[1] - sy[0])
+    syb[1] = syb[1] - dbar * (sx[2] - sx[0])
+    sxb[0] = sxb[0] + dbar * (sy[1] - sy[2])
+    syb[0] = syb[0] + dbar * (sx[2] - sx[1])
+
+    # sx = x iw, sy = y iw, zf = z iw, iw = 1/safe_w
+    xbar, ybar, zbar, wbar = [], [], [], []
+    for k in range(3):
+        xbar.append(sxb[k] * iw[k])
+        ybar.append(syb[k] * iw[k])
+        zbar.append(zfbar[k] * iw[k])
+        iwk = (iwbar[k] + sxb[k] * f["x"][k] + syb[k] * f["y"][k]
+               + zfbar[k] * f["z"][k])
+        wbar.append(jnp.where(f["w_in"][k],
+                              -iwk * iw[k] * iw[k], 0.0))
+
+    zero = jnp.zeros((1, _PIX), jnp.float32)
+    rows = xbar + ybar + zbar + wbar + [zero, zero, zero, zero]
+    return rows, [ga0, ga1, ga2]
+
+
+def _make_bwd_kernel(p, C):
+    """Per-tile backward: re-extract the winners' records, run the
+    hand-written shading VJP on [1, P] rows, then reduce the record
+    gradients straight into face-table layout:
+    g_tab[:, f] += sum_p onehot(slot_p == f) grec[:, p] over the tile's
     WINNING chunks (the only chunks with nonzero gradient).
 
-    Chunks are shared between tiles, so the kernel ACCUMULATES: read
+    Chunks are shared between tiles, so the reduction ACCUMULATES: read
     chunk gradient block, add this tile's one-hot matmul contribution,
     write back. TPU grid steps execute sequentially and all in-flight
     stores are drained before the kernel body returns, so the
@@ -641,20 +835,36 @@ def _make_bwd_kernel(p):
     rec = p["rec"]
     K = _CHUNK
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, zeros_ref,
-               gtab_hbm, stage_in, stage_out, sems_r, sems_w):
+    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, tab_hbm, zeros_ref,
+               gtab_hbm, tri_buf, grec_scr, stage_in, stage_out,
+               sems_t, sems_r, sems_w):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
-        # slot_ref [1,1,P,1] int32; g_ref [1,1,rec,P] f32
+        # slot_ref [1,1,P,1] int32; g_ref [1,1,rows_out,P] f32
+        # tab_hbm [B, rec, Fpad] ANY (forward record table, re-read)
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
         # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
-        # stage_in/stage_out: VMEM (2, rec, K) DMA staging
         del zeros_ref
         b = pl.program_id(0)
+        t = pl.program_id(1)
         n_iter = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]          # [P, 1] int32
-        g_mat = g_ref[0, 0]                # [rec, P] f32
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
+        # ---- re-extract winners' records, run the VJP
+        recm = _extract_loop(p, b, n_iter, wlist_ref, slot_col,
+                             tab_hbm, tri_buf, sems_t)
+        px, py = _pix_ndc(p, t)
+        coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
+        for i, r in enumerate(coord_rows):
+            grec_scr[i:i + 1, :] = r
+        for k in range(3):
+            grec_scr[16 + k * C:16 + (k + 1) * C, :] = attr_rows[k]
+        if rec > 16 + 3 * C:
+            grec_scr[16 + 3 * C:rec, :] = jnp.zeros(
+                (rec - 16 - 3 * C, _PIX), jnp.float32)
+        grec = grec_scr[...]
+
+        # ---- accumulate into the face-table gradient (RMW)
         def rd(sl, ci):
             k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
             return pltpu.make_async_copy(
@@ -681,7 +891,7 @@ def _make_bwd_kernel(p):
             c = wlist_ref[0, 0, 0, ci]
             onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
             gc = jax.lax.dot_general(
-                g_mat, onehot,
+                grec, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,  # bf16 quantizes grads
@@ -724,10 +934,11 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     """Cached custom_vjp'd core for one (topology, config).
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
-    shared_attr) -> (comp [r_used, B, H, W] f32, ids [B, H, W] int32).
-    comp rows: 0:12 corner clip coords (x0 y0 z0 w0 x1 ... w2),
-    12 face id (float), 13:16 AA edge ids (float), 16: 3xC corner attrs
-    (corner-major: a0[C], a1[C], a2[C]).
+    shared_attr) -> (pix [rows_used, B, H, W] f32, ids [B, H, W] int32).
+    pix rows: 0 u, 1 v, 2 zw (masked barycentrics/depth), 3:6 sx per
+    corner, 6:9 sy per corner, 9:9+C interpolated features (masked),
+    9+C face id (float), 10+C:13+C AA edge ids, 13+C w_ok flag.
+    Differentiable in clip/attr via the hand-written shading VJP.
     """
     F = int(topo.faces.shape[0])
     V = topo.num_vertices
@@ -747,6 +958,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     inc_np = topo.vert_incidence
     tiles_y, tiles_x, T = p["tiles_y"], p["tiles_x"], p["T"]
     r_used, rec, nc, Fpad = p["r_used"], p["rec"], p["nc"], p["Fpad"]
+    rows_used, rows_out = p["rows_used"], p["rows_out"]
     Hp, Wp = p["Hp"], p["Wp"]
     K = _CHUNK
 
@@ -758,7 +970,9 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         # count, not row width), straight into TRANSPOSED table layout.
         clip_t = clip.transpose(1, 0, 2).reshape(V, B * 4)
         tri_flat = clip_t[faces_flat].reshape(F, 3, B, 4)
-        coords_t = tri_flat.transpose(2, 1, 3, 0).reshape(B, 12, F)
+        # COMPONENT-major coord rows: x0 x1 x2 | y0 y1 y2 | z... | w...
+        # (contiguous [3, P] corner slabs for the shading kernels)
+        coords_t = tri_flat.transpose(2, 3, 1, 0).reshape(B, 12, F)
         if shared_attr:
             at_f = attr[faces_flat].reshape(F, 3, C)     # static, no B
             attr_t = jnp.broadcast_to(
@@ -783,10 +997,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             lambda ct: _coeff_table(ct, p, H, W))(coords_t)
 
         # work lists from the transposed coords (screen xy + w rows)
-        w_rows = coords_t[:, 3::4]                       # [B, 3, F]
+        w_rows = coords_t[:, 9:12]                       # [B, 3, F]
         iw = 1.0 / jnp.where(jnp.abs(w_rows) > W_EPS, w_rows, W_EPS)
-        sx_rows = coords_t[:, 0::4] * iw
-        sy_rows = coords_t[:, 1::4] * iw
+        sx_rows = coords_t[:, 0:3] * iw
+        sy_rows = coords_t[:, 3:6] * iw
         chunk_list, starts, ends, g_list, g_cnt = jax.vmap(
             lambda sx, sy, w: _build_lists(
                 sx, sy, w, p, H=H, W=W, max_span=max_span)
@@ -827,9 +1041,9 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
              jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]  # [B, T, 1, 4]
 
-        # ---- pass B: extract winner records
+        # ---- pass B: extract winner records + interpolate in-kernel
         outf = pl.pallas_call(
-            _make_passb_kernel(p),
+            _make_passb_kernel(p, C),
             grid=(B, T),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
@@ -841,40 +1055,41 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, _PIX, rec),
+            out_specs=pl.BlockSpec((1, 1, rows_out, _PIX),
                                    lambda b, t: (b, t, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T, _PIX, rec), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, T, rows_out, _PIX),
+                                           jnp.float32),
             interpret=interpret,
         )(wmeta, wlist[:, :, None], slot, tab)
 
-        # [B, T, P, rec] -> [r_used, B, H, W]
-        comp = outf[..., :r_used].reshape(
-            B, tiles_y, tiles_x, TILE_H, TILE_W, r_used)
-        comp = comp.transpose(5, 0, 1, 3, 2, 4).reshape(r_used, B, Hp, Wp)
-        comp = comp[:, :, :H, :W]
-        ids = jnp.round(comp[12]).astype(jnp.int32)
-        return comp, ids, slot, wmeta, wlist
+        # [B, T, rows_out, P] -> [rows_used, B, H, W]
+        pix = outf[:, :, :rows_used].reshape(
+            B, tiles_y, tiles_x, rows_used, TILE_H, TILE_W)
+        pix = pix.transpose(3, 0, 1, 4, 2, 5).reshape(rows_used, B, Hp, Wp)
+        pix = pix[:, :, :H, :W]
+        ids = jnp.round(pix[9 + C]).astype(jnp.int32)
+        return pix, ids, slot, wmeta, wlist, tab
 
     def core(clip, attr):
-        comp, ids, _, _, _ = _fwd_impl(clip, attr)
-        return comp, ids
+        pix, ids, _, _, _, _ = _fwd_impl(clip, attr)
+        return pix, ids
 
     def core_fwd(clip, attr):
-        comp, ids, slot, wmeta, wlist = _fwd_impl(clip, attr)
-        return (comp, ids), (slot, wmeta, wlist, clip.shape[0])
+        pix, ids, slot, wmeta, wlist, tab = _fwd_impl(clip, attr)
+        return (pix, ids), (slot, wmeta, wlist, tab, clip.shape[0])
 
     def core_bwd(res, cts):
-        g_comp, _ = cts
-        slot, wmeta, wlist, B = res
+        g_pix, _ = cts
+        slot, wmeta, wlist, tab, B = res
 
-        # [r, B, H, W] -> [B, T, rec, P]
-        g = jnp.pad(g_comp, ((0, rec - r_used), (0, 0), (0, Hp - H),
-                             (0, Wp - W)))
-        g = g.reshape(rec, B, tiles_y, TILE_H, tiles_x, TILE_W)
-        g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rec, _PIX)
+        # [rows_used, B, H, W] -> [B, T, rows_out, P]
+        g = jnp.pad(g_pix, ((0, rows_out - rows_used), (0, 0),
+                            (0, Hp - H), (0, Wp - W)))
+        g = g.reshape(rows_out, B, tiles_y, TILE_H, tiles_x, TILE_W)
+        g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rows_out, _PIX)
 
-        kernel = _make_bwd_kernel(p)
+        kernel = _make_bwd_kernel(p, C)
         zeros = jnp.zeros((B, rec, Fpad), jnp.float32)
         gtab = pl.pallas_call(
             kernel,
@@ -887,29 +1102,34 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, rec, _PIX), lambda b, t: (b, t, 0, 0),
+                pl.BlockSpec((1, 1, rows_out, _PIX),
+                             lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B, rec, Fpad), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, rec, K), jnp.float32),
+                pltpu.VMEM((rec, _PIX), jnp.float32),
+                pltpu.VMEM((2, rec, K), jnp.float32),
                 pltpu.VMEM((2, rec, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={4: 0},
+            input_output_aliases={5: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(wmeta, wlist[:, :, None], slot, g, zeros)
+        )(wmeta, wlist[:, :, None], slot, g, tab, zeros)
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
-        # coords: [B, 12, F] -> corner-major [3F, B*4], then ONE
-        # B-independent incidence gather (V*D rows, not B*V*D)
-        g_coords = gtab[:, :12, :F].reshape(B, 3, 4, F)
-        g_coords = g_coords.transpose(3, 1, 0, 2).reshape(F * 3, B * 4)
+        # coords: [B, 12, F] component-major -> corner-major [3F, B*4],
+        # then ONE B-independent incidence gather (V*D rows, not B*V*D)
+        g_coords = gtab[:, :12, :F].reshape(B, 4, 3, F)
+        g_coords = g_coords.transpose(3, 2, 0, 1).reshape(F * 3, B * 4)
         g_coords = jnp.concatenate(
             [g_coords, jnp.zeros((1, B * 4), g_coords.dtype)], axis=0)
         g_clip = g_coords[inc_j].sum(axis=1)           # [V, B*4]
@@ -980,8 +1200,11 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
 
     clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
     (rast [B, H, W, 4], feat [B, H, W, C], aa_weights|None).
+    Barycentrics and feature interpolation happen INSIDE the pass-B
+    kernel; only the antialias pass (which needs cross-pixel neighbors)
+    stays in XLA, fed by the per-pixel screen coords/edge ids the kernel
+    emits.
     """
-    from .api import barycentrics_from_context
     from .antialias import antialias_weights
 
     H, W = resolution
@@ -993,35 +1216,25 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                              rows_budget=rows_budget, winner_cap=winner_cap,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret)
-    comp, ids = core(clip, attr)
+    pix, ids = core(clip, attr)
 
-    x = [comp[0], comp[4], comp[8]]
-    y = [comp[1], comp[5], comp[9]]
-    z = [comp[2], comp[6], comp[10]]
-    w = [comp[3], comp[7], comp[11]]
-    iw = [1.0 / jnp.where(jnp.abs(wk) > W_EPS, wk, W_EPS) for wk in w]
-    sx = [xk * iwk for xk, iwk in zip(x, iw)]
-    sy = [yk * iwk for yk, iwk in zip(y, iw)]
-    w_ok = (w[0] > 0) & (w[1] > 0) & (w[2] > 0)
-    eids = tuple(jnp.round(comp[13 + k]).astype(jnp.int32) for k in range(3))
-    ctx = {
-        "ids": ids, "mask": ids > 0, "face_idx": None,
-        "x": x, "y": y, "z": z, "w": w, "iw": iw,
-        "sx": sx, "sy": sy, "w_ok": w_ok, "eids": eids,
-    }
-    rast = barycentrics_from_context(ctx, resolution, clip.dtype)
-
-    u = rast[..., 0:1]
-    v = rast[..., 1:2]
-    w2 = 1.0 - u - v
-    a0 = jnp.moveaxis(comp[16:16 + C], 0, -1)
-    a1 = jnp.moveaxis(comp[16 + C:16 + 2 * C], 0, -1)
-    a2 = jnp.moveaxis(comp[16 + 2 * C:16 + 3 * C], 0, -1)
-    feat = u * a0 + v * a1 + w2 * a2
-    feat = jnp.where(ctx["mask"][..., None], feat, 0.0)
+    mask = ids > 0
+    rast = jnp.stack(
+        [pix[0], pix[1], pix[2],
+         jnp.where(mask, ids.astype(clip.dtype), 0.0)], axis=-1)
+    feat = jnp.moveaxis(pix[9:9 + C], 0, -1)
 
     aa_w = None
     if with_aa:
+        eids = tuple(jnp.round(pix[10 + C + k]).astype(jnp.int32)
+                     for k in range(3))
+        ctx = {
+            "ids": ids, "mask": mask, "face_idx": None,
+            "sx": [pix[3], pix[4], pix[5]],
+            "sy": [pix[6], pix[7], pix[8]],
+            "w_ok": pix[13 + C] > 0.5,
+            "eids": eids,
+        }
         aa_w = antialias_weights(rast, clip, topo.faces, topology=None,
                                  context=ctx)
     return rast, feat, aa_w

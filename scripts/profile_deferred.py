@@ -97,14 +97,14 @@ def main():
     attr0 = jax.jit(mkattr)(params)
     B = n_views
     gimg = jnp.asarray(rng.standard_normal(
-        (16 + 3 * C, B, H, W)), jnp.float32)
+        (14 + C, B, H, W)), jnp.float32)
 
     t = timeit(jax.jit(lambda c, a: core(c, a)[0]), clip0, attr0)
     print(f"core fwd only                  : {t:8.2f} ms", flush=True)
 
     def core_sum(c, a, g):
-        comp, _ = core(c, a)
-        return jnp.sum(comp * g)
+        pix, _ = core(c, a)
+        return jnp.sum(pix * g)
 
     t = timeit(jax.jit(jax.grad(core_sum, argnums=(0, 1))), clip0, attr0,
                gimg)
