@@ -631,31 +631,46 @@ def _shade_rows(recm, px, py, C):
                 wokf=wokf)
 
 
-def _extract_loop(p, b, wcnt, wlist_ref, slot_col, tab_hbm, tri_buf, sems):
+def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, sta_hbm,
+                  tri_buf, sems):
     """Accumulate the winners' [rec, P] record slab over winning chunks
-    (one-hot MXU matmul per chunk, double-buffered DMA)."""
+    (one-hot MXU matmul per chunk, double-buffered pair of DMAs).
+
+    The record table is split: dyn_hbm [B, 16, Fpad] carries the
+    per-view rows (coords + id + eids), sta_hbm [B_s, rec-16, Fpad] the
+    attribute rows (B_s = 1 when attributes are shared across views —
+    the common case — so no per-view broadcast is ever materialized).
+    """
     rec = p["rec"]
     K = _CHUNK
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
-    def dma(slot_i, ci):
+    def dmas(slot_i, ci):
         k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
-        return pltpu.make_async_copy(
-            tab_hbm.at[b, :, pl.ds(k0, K)], tri_buf.at[slot_i],
-            sems.at[slot_i])
+        return (
+            pltpu.make_async_copy(
+                dyn_hbm.at[b, :, pl.ds(k0, K)],
+                tri_buf.at[slot_i, 0:16], sems.at[slot_i, 0]),
+            pltpu.make_async_copy(
+                sta_hbm.at[bs, :, pl.ds(k0, K)],
+                tri_buf.at[slot_i, 16:rec], sems.at[slot_i, 1]),
+        )
 
     @pl.when(wcnt > 0)
     def _():
-        dma(0, 0).start()
+        for d in dmas(0, 0):
+            d.start()
 
     def loop(ci, recm):
         sl = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < wcnt)
         def _():
-            dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+            for d in dmas(jax.lax.rem(ci + 1, 2), ci + 1):
+                d.start()
 
-        dma(sl, ci).wait()
+        for d in dmas(sl, ci):
+            d.wait()
         c = wlist_ref[0, 0, 0, ci]
         onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
         # HIGHEST: bf16 would round face/edge ids > 256 to even and
@@ -684,18 +699,20 @@ def _make_passb_kernel(p, C):
     Background tiles (wcnt = 0) cost nothing.
     """
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, tab_hbm, pix_ref):
+    def kernel(wmeta_ref, wlist_ref, slot_ref, dyn_hbm, sta_hbm, pix_ref):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
-        # slot_ref [1,1,P,1] VMEM int32; tab_hbm [B, rec, Fpad] ANY
+        # slot_ref [1,1,P,1] VMEM int32
+        # dyn_hbm [B, 16, Fpad] / sta_hbm [B_s, rec-16, Fpad] ANY
         # pix_ref [1,1,rows_out,P] VMEM f32
         b = pl.program_id(0)
         t = pl.program_id(1)
+        bs = jnp.minimum(b, sta_hbm.shape[0] - 1)
         wcnt = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]                    # [P, 1]
 
         def body(tri_buf, sems):
-            recm = _extract_loop(p, b, wcnt, wlist_ref, slot_col,
-                                 tab_hbm, tri_buf, sems)
+            recm = _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col,
+                                 dyn_hbm, sta_hbm, tri_buf, sems)
             px, py = _pix_ndc(p, t)
             f = _shade_rows(recm, px, py, C)
             m = f["m"]
@@ -719,7 +736,7 @@ def _make_passb_kernel(p, C):
         pl.run_scoped(
             body,
             tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((2,)),
+            sems=pltpu.SemaphoreType.DMA((2, 2)),
         )
 
     return kernel
@@ -835,24 +852,25 @@ def _make_bwd_kernel(p, C):
     rec = p["rec"]
     K = _CHUNK
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, tab_hbm, zeros_ref,
-               gtab_hbm, tri_buf, grec_scr, stage_in, stage_out,
+    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, sta_hbm,
+               zeros_ref, gtab_hbm, tri_buf, grec_scr, stage_in, stage_out,
                sems_t, sems_r, sems_w):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] int32; g_ref [1,1,rows_out,P] f32
-        # tab_hbm [B, rec, Fpad] ANY (forward record table, re-read)
+        # dyn/sta_hbm: forward record table blocks (re-read)
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
         # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
         del zeros_ref
         b = pl.program_id(0)
         t = pl.program_id(1)
+        bs = jnp.minimum(b, sta_hbm.shape[0] - 1)
         n_iter = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]          # [P, 1] int32
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
         # ---- re-extract winners' records, run the VJP
-        recm = _extract_loop(p, b, n_iter, wlist_ref, slot_col,
-                             tab_hbm, tri_buf, sems_t)
+        recm = _extract_loop(p, b, bs, n_iter, wlist_ref, slot_col,
+                             dyn_hbm, sta_hbm, tri_buf, sems_t)
         px, py = _pix_ndc(p, t)
         coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
         for i, r in enumerate(coord_rows):
@@ -975,9 +993,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         coords_t = tri_flat.transpose(2, 3, 1, 0).reshape(B, 12, F)
         if shared_attr:
             at_f = attr[faces_flat].reshape(F, 3, C)     # static, no B
-            attr_t = jnp.broadcast_to(
-                at_f.transpose(1, 2, 0).reshape(1, 3 * C, F),
-                (B, 3 * C, F))
+            attr_t = at_f.transpose(1, 2, 0).reshape(1, 3 * C, F)
         else:
             at = attr.transpose(1, 0, 2).reshape(V, B * C)
             af = at[faces_flat].reshape(F, 3, B, C)
@@ -987,10 +1003,14 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             jnp.asarray(topo.ext_face_ids)[None, None, :], (B, 1, F))
         eids_row = jnp.broadcast_to(
             jnp.asarray(eids_np.T)[None], (B, 3, F))
-        table_t = jnp.concatenate([coords_t, ids_row, eids_row, attr_t],
-                                  axis=1)                # [B, r_used, F]
-        tab = jnp.pad(
-            table_t, ((0, 0), (0, rec - r_used), (0, Fpad - F)))
+        # split record table: per-view dynamic rows (coords+id+eids = 16
+        # exactly) and attribute rows (ONE copy when shared across views
+        # — no [B, 3C, F] broadcast is ever materialized)
+        tab_dyn = jnp.pad(
+            jnp.concatenate([coords_t, ids_row, eids_row], axis=1),
+            ((0, 0), (0, 0), (0, Fpad - F)))             # [B, 16, Fpad]
+        tab_sta = jnp.pad(
+            attr_t, ((0, 0), (0, rec - 16 - 3 * C), (0, Fpad - F)))
 
         # pass-A coefficient table + anchors
         tab_a, anchors = jax.vmap(
@@ -1054,6 +1074,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, 1, rows_out, _PIX),
                                    lambda b, t: (b, t, 0, 0),
@@ -1061,7 +1082,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             out_shape=jax.ShapeDtypeStruct((B, T, rows_out, _PIX),
                                            jnp.float32),
             interpret=interpret,
-        )(wmeta, wlist[:, :, None], slot, tab)
+        )(wmeta, wlist[:, :, None], slot, tab_dyn, tab_sta)
 
         # [B, T, rows_out, P] -> [rows_used, B, H, W]
         pix = outf[:, :, :rows_used].reshape(
@@ -1069,19 +1090,20 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         pix = pix.transpose(3, 0, 1, 4, 2, 5).reshape(rows_used, B, Hp, Wp)
         pix = pix[:, :, :H, :W]
         ids = jnp.round(pix[9 + C]).astype(jnp.int32)
-        return pix, ids, slot, wmeta, wlist, tab
+        return pix, ids, slot, wmeta, wlist, tab_dyn, tab_sta
 
     def core(clip, attr):
-        pix, ids, _, _, _, _ = _fwd_impl(clip, attr)
+        pix, ids, _, _, _, _, _ = _fwd_impl(clip, attr)
         return pix, ids
 
     def core_fwd(clip, attr):
-        pix, ids, slot, wmeta, wlist, tab = _fwd_impl(clip, attr)
-        return (pix, ids), (slot, wmeta, wlist, tab, clip.shape[0])
+        pix, ids, slot, wmeta, wlist, tab_dyn, tab_sta = _fwd_impl(clip, attr)
+        return (pix, ids), (slot, wmeta, wlist, tab_dyn, tab_sta,
+                            clip.shape[0])
 
     def core_bwd(res, cts):
         g_pix, _ = cts
-        slot, wmeta, wlist, tab, B = res
+        slot, wmeta, wlist, tab_dyn, tab_sta, B = res
 
         # [rows_used, B, H, W] -> [B, T, rows_out, P]
         g = jnp.pad(g_pix, ((0, rows_out - rows_used), (0, 0),
@@ -1107,6 +1129,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B, rec, Fpad), jnp.float32),
@@ -1115,14 +1138,14 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 pltpu.VMEM((rec, _PIX), jnp.float32),
                 pltpu.VMEM((2, rec, K), jnp.float32),
                 pltpu.VMEM((2, rec, K), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={5: 0},
+            input_output_aliases={6: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(wmeta, wlist[:, :, None], slot, g, tab, zeros)
+        )(wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_sta, zeros)
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
