@@ -203,3 +203,68 @@ def test_deferred_face_order(scene):
     out_b = apply_antialias(feat_b, aa_b)
     np.testing.assert_allclose(
         np.asarray(out_a), np.asarray(out_b), atol=1e-5, rtol=1e-5)
+
+
+def test_winner_lists_overflow_clamps():
+    """_winner_lists keeps the lowest-numbered wcap chunks and clamps
+    wcnt; overflow pixels degrade to background in pass B (documented)."""
+    from fmhr_tpu.raster.deferred import _winner_lists, _plan, _CHUNK
+
+    F = 40 * _CHUNK
+    p = _plan(F, 0, 0, 32, 256, 8, 64, winner_cap=8)
+    assert p["wcap"] == 8
+    rng = np.random.default_rng(3)
+    # one tile whose pixels win from 40 distinct chunks
+    slot = (rng.integers(0, 40, (1, 1, 1024)) * _CHUNK + 3).astype(np.int32)
+    slot[0, 0, 0] = -1
+    wlist, wcnt = _winner_lists(jnp.asarray(slot), p)
+    assert int(wcnt[0, 0]) == 8
+    np.testing.assert_array_equal(np.asarray(wlist[0, 0]), np.arange(8))
+
+
+def test_deferred_gradients_degenerate_faces():
+    """The hand-written VJP must reproduce XLA autodiff's eps-gates:
+    zero-area faces and near-plane vertices contribute the same
+    (gated) gradients as the oracle."""
+    clip, faces, attr = sphere_scene(n_views=1, res=(32, 256))
+    nv = attr.shape[0]
+    clipn = np.asarray(clip)
+    extra = np.asarray([
+        # degenerate: three collinear vertices (zero screen area)
+        [[-0.5, -0.5, -0.1, 2.0], [0.0, 0.0, -0.1, 2.0],
+         [0.5, 0.5, -0.1, 2.0]],
+        # near-plane: one vertex with w ~ 0 (rejected by w guard)
+        [[-0.8, 0.6, -0.1, 2.0], [-0.4, 0.9, -0.1, 2.0],
+         [-0.6, 0.8, -0.1, 1e-7]],
+    ], np.float32).reshape(6, 4)
+    clip2 = jnp.asarray(
+        np.concatenate([clipn, extra[None]], axis=1))
+    faces2 = np.concatenate(
+        [np.asarray(faces),
+         np.asarray([[nv, nv + 1, nv + 2], [nv + 3, nv + 4, nv + 5]],
+                    np.int32)])
+    attr2 = jnp.concatenate(
+        [attr, jnp.ones((6, attr.shape[1]), jnp.float32) * 0.3], axis=0)
+    res = (32, 256)
+    topo = DeferredTopology.build(faces2, nv + 6)
+    topo_aa = AATopology.build(faces2, nv + 6)
+    rng = np.random.default_rng(4)
+    gimg = jnp.asarray(
+        rng.standard_normal((1,) + res + (attr.shape[-1],)), jnp.float32)
+
+    def loss_x(clip, attr):
+        rast, feat, aa_w = _xla_path(clip, attr, faces2, res, topo_aa)
+        return jnp.sum(apply_antialias(feat, aa_w) * gimg)
+
+    def loss_d(clip, attr):
+        rast, feat, aa_w = render_pixels_deferred(
+            clip, attr, topo, res, max_span=8, interpret=True)
+        return jnp.sum(apply_antialias(feat, aa_w) * gimg)
+
+    lx, (gxc, gxa) = jax.value_and_grad(loss_x, argnums=(0, 1))(clip2, attr2)
+    ld, (gdc, gda) = jax.value_and_grad(loss_d, argnums=(0, 1))(clip2, attr2)
+    np.testing.assert_allclose(float(lx), float(ld), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxc), np.asarray(gdc),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gda),
+                               atol=2e-4, rtol=1e-3)
