@@ -1,0 +1,156 @@
+"""Host-side isosurface extraction (vectorized NumPy marching tetrahedra).
+
+Role: the mesh-extraction step of Shape-As-Points
+(`/root/reference/models/sap.py:215-246` uses skimage's marching cubes,
+which is not available here). We split every grid cube into 6 tetrahedra
+around a body diagonal and triangulate each tet by sign case — a 16-entry
+table instead of MC's 256, with identical functional semantics: vertices
+on sign-change edges at the linear zero crossing, a crack-free closed
+surface, and per-vertex normals from the trilinear-interpolated grid
+gradient. The vertex count is ~2x MC's for the same grid; this runs once
+per optimization step on the host (the differentiable field math stays on
+device), so triangle economy is irrelevant here.
+
+Conventions match `mc_from_psr` (`/root/reference/models/sap.py:213-246`):
+vertices in index space scaled by 1/res to the [0, 1) cube
+(`real_scale=False`); normals are the gradient-ASCENT direction (from
+field<level toward field>level) — exactly the convention the PSR2Mesh
+backward needs for the level-set relation dV/dfield = -n̂, and, for the
+SAP indicator (inside negative, empty space +0.5), the outward surface
+direction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Cube corner offsets (x, y, z); the 6-tet decomposition shares the 0-6
+# body diagonal, and every cube face is split along the same geometric
+# diagonal as its neighbor's matching face (crack-free).
+_CORNER_OFF = np.array(
+    [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+     [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.int64)
+_TETS = np.array(
+    [[0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6],
+     [0, 7, 4, 6], [0, 4, 5, 6], [0, 5, 1, 6]], np.int64)
+
+
+def _tet_table():
+    """[16, 2, 3, 2] int8: per inside-bitmask case, up to two triangles of
+    three edge endpoints (a, b) each; -1 pads absent triangles. Winding is
+    normalized per-face against the field gradient afterwards, so only
+    edge membership matters here."""
+    t = -np.ones((16, 2, 3, 2), np.int8)
+
+    def put(case, tris):
+        for j, tri in enumerate(tris):
+            t[case, j] = tri
+
+    put(1, [[(0, 1), (0, 2), (0, 3)]])
+    put(2, [[(1, 0), (1, 2), (1, 3)]])
+    put(4, [[(2, 0), (2, 1), (2, 3)]])
+    put(8, [[(3, 0), (3, 1), (3, 2)]])
+    put(14, [[(0, 1), (0, 2), (0, 3)]])
+    put(13, [[(1, 0), (1, 2), (1, 3)]])
+    put(11, [[(2, 0), (2, 1), (2, 3)]])
+    put(7, [[(3, 0), (3, 1), (3, 2)]])
+    # two-inside cases: the four cut edges form a quad whose cyclic order
+    # walks the tet faces; split into two triangles
+    put(3, [[(0, 2), (0, 3), (1, 3)], [(0, 2), (1, 3), (1, 2)]])
+    put(12, [[(0, 2), (0, 3), (1, 3)], [(0, 2), (1, 3), (1, 2)]])
+    put(5, [[(0, 1), (0, 3), (2, 3)], [(0, 1), (2, 3), (2, 1)]])
+    put(10, [[(0, 1), (0, 3), (2, 3)], [(0, 1), (2, 3), (2, 1)]])
+    put(6, [[(1, 0), (1, 3), (2, 3)], [(1, 0), (2, 3), (2, 0)]])
+    put(9, [[(1, 0), (1, 3), (2, 3)], [(1, 0), (2, 3), (2, 0)]])
+    return t
+
+
+_TABLE = _tet_table()
+
+
+def _grid_gradient_at(grid, pts):
+    """Trilinear interpolation of the central-difference gradient of
+    `grid` [r0, r1, r2] at index-space points [n, 3]."""
+    gz = np.gradient(grid)  # tuple of [r0, r1, r2] along each axis
+    res = np.array(grid.shape)
+    i0 = np.clip(np.floor(pts).astype(np.int64), 0, res - 2)
+    f = pts - i0
+    out = np.zeros_like(pts)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                w = (
+                    (f[:, 0] if cx else 1 - f[:, 0])
+                    * (f[:, 1] if cy else 1 - f[:, 1])
+                    * (f[:, 2] if cz else 1 - f[:, 2])
+                )
+                idx = (i0[:, 0] + cx, i0[:, 1] + cy, i0[:, 2] + cz)
+                for d in range(3):
+                    out[:, d] += w * gz[d][idx]
+    return out
+
+
+def marching_tets(grid: np.ndarray, level: float = 0.0):
+    """Extract the `level` isosurface of `grid` [r0, r1, r2].
+
+    Returns (verts [nv, 3] float32 in the [0, 1) cube, faces [nf, 3]
+    int32, normals [nv, 3] float32 pointing from field<level toward
+    field>level). Vertices on shared tet edges are merged exactly (keyed
+    by grid-node pair), so the surface is closed and watertight wherever
+    the field's zero set is.
+    """
+    grid = np.asarray(grid, np.float64)
+    r0, r1, r2 = grid.shape
+    flat = grid.reshape(-1)
+
+    cx, cy, cz = np.meshgrid(
+        np.arange(r0 - 1), np.arange(r1 - 1), np.arange(r2 - 1),
+        indexing="ij")
+    base = np.stack([cx, cy, cz], -1).reshape(-1, 3)       # [ncube, 3]
+    corner = base[:, None, :] + _CORNER_OFF[None]          # [ncube, 8, 3]
+    cid = (corner[..., 0] * r1 + corner[..., 1]) * r2 + corner[..., 2]
+
+    tid = cid[:, _TETS].reshape(-1, 4)                     # [ntet, 4]
+    tval = flat[tid]
+    case = ((tval > level) << np.arange(4)).sum(1)         # [ntet]
+
+    tris = _TABLE[case]                                    # [ntet, 2, 3, 2]
+    keep = tris[:, :, 0, 0] >= 0                           # [ntet, 2]
+    tt, jj = np.nonzero(keep)
+    edges = tris[tt, jj]                                   # [nf, 3, 2]
+    ga = np.take_along_axis(tid[tt], edges[..., 0].astype(np.int64), 1)
+    gb = np.take_along_axis(tid[tt], edges[..., 1].astype(np.int64), 1)
+
+    lo = np.minimum(ga, gb).reshape(-1)
+    hi = np.maximum(ga, gb).reshape(-1)
+    key = lo * (r0 * r1 * r2) + hi
+    uniq, inv = np.unique(key, return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+
+    ulo = (uniq // (r0 * r1 * r2)).astype(np.int64)
+    uhi = (uniq % (r0 * r1 * r2)).astype(np.int64)
+    va, vb = flat[ulo], flat[uhi]
+    t = (level - va) / np.where(vb == va, 1.0, vb - va)
+    t = np.clip(t, 0.0, 1.0)
+
+    def unflat(i):
+        return np.stack([i // (r1 * r2), (i // r2) % r1, i % r2],
+                        -1).astype(np.float64)
+
+    pa, pb = unflat(ulo), unflat(uhi)
+    verts_idx = pa + t[:, None] * (pb - pa)                # index space
+
+    nrm = _grid_gradient_at(grid, verts_idx)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+
+    # normalize winding: face normal agrees with the vertex normals
+    v = verts_idx
+    fn = np.cross(v[faces[:, 1]] - v[faces[:, 0]],
+                  v[faces[:, 2]] - v[faces[:, 0]])
+    agree = np.einsum("fd,fd->f", fn,
+                      nrm[faces[:, 0]] + nrm[faces[:, 1]] + nrm[faces[:, 2]])
+    flip = agree < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+
+    verts = (verts_idx / np.array([r0, r1, r2])).astype(np.float32)
+    return verts, faces, nrm.astype(np.float32)
