@@ -9,3 +9,7 @@ from .sap import (  # noqa: F401
     spec_gaussian_filter,
 )
 from .marching import marching_tets  # noqa: F401
+from .sfs import (  # noqa: F401
+    depth2normal, convmtx2, estimate_shading,
+    estimate_albedo_and_specularities, refine_surface,
+)
