@@ -63,3 +63,33 @@ def test_bench_cli(tmp_path):
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert out["unit"] == "Mrays/s" and out["value"] > 0
+
+
+@pytest.mark.slow
+def test_sap_recon_cli(tmp_path):
+    # octahedron subdivided to a sphere -> SAP watertight reconstruction
+    from fmhr_tpu.utils.obj_io import save_obj, load_obj
+    from fmhr_tpu.core.subdivision import loop_subdivide
+
+    verts = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+         [0, 0, 1], [0, 0, -1]], np.float32)
+    faces = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int32)
+    v, f = verts, faces
+    for _ in range(2):
+        v, f = loop_subdivide(v, f)[:2]
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * 0.4
+    mesh = tmp_path / "sphere.obj"
+    save_obj(str(mesh), v, f)
+    r = _run(
+        ["fmhr_tpu.cli.sap_recon", "--mesh", str(mesh), "--res", "32",
+         "--num_sample", "2000", "--platform", "cpu"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sap_recon OK" in r.stdout
+    rv, rf = load_obj(str(tmp_path / "sphere_sap.obj"))
+    rad = np.linalg.norm(rv, axis=1)
+    assert abs(rad.mean() - 0.4) < 0.05
