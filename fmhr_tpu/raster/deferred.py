@@ -137,11 +137,13 @@ class DeferredTopology:
     (original) 1-based ids so `rast[..., 3]` is order-invariant.
     """
 
-    faces: np.ndarray          # [F, 3] int32 (possibly permuted)
-    face_edge_ids: np.ndarray  # [F, 3] int32 (k=0:(v0,v1), 1:(v1,v2), 2:(v2,v0))
-    vert_incidence: np.ndarray  # [V, D] int32, sentinel = 3*F
+    faces: np.ndarray          # [Fpad, 3] int32 (possibly permuted; padded
+    #                            to a 128 multiple with degenerate 0,0,0)
+    face_edge_ids: np.ndarray  # [Fpad, 3] int32 (k=0:(v0,v1), 1:(v1,v2), 2:(v2,v0))
+    vert_incidence: np.ndarray  # [V, D] int32, sentinel = 3*Fpad
     num_vertices: int
-    ext_face_ids: np.ndarray   # [F] float32, original face id + 1
+    ext_face_ids: np.ndarray   # [Fpad] float32, original face id + 1 (0 pad)
+    num_faces_real: int
 
     @classmethod
     def build(cls, faces, num_vertices: int,
@@ -155,27 +157,41 @@ class DeferredTopology:
             ext_ids = np.arange(1, faces.shape[0] + 1, dtype=np.float32)
         F = faces.shape[0]
         V = int(num_vertices)
-        # edge ids (same construction as antialias.AATopology)
+        # vertex -> (face, corner) incidence over the REAL faces only
+        # (padded slots never carry gradient; including them would blow up
+        # vertex 0's row width)
+        flat = faces.reshape(-1)  # value = vertex id, index = face*3+corner
+        inc_order = np.argsort(flat, kind="stable").astype(np.int32)
+        sorted_v = flat[inc_order]
+        counts = np.bincount(flat, minlength=V)
+        D = max(1, int(counts.max()) if F else 1)
+        # pad the face table to a whole number of 128-face chunks with
+        # degenerate (0, 0, 0) faces: zero area -> never valid, never wins,
+        # and the per-step XLA pad of every table disappears
+        Fpad = _round_up(max(F, 1), _CHUNK)
+        if Fpad > F:
+            faces = np.concatenate(
+                [faces, np.zeros((Fpad - F, 3), np.int32)])
+            ext_ids = np.concatenate(
+                [ext_ids, np.zeros(Fpad - F, np.float32)])
+        inc = np.full((V, D), 3 * Fpad, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for_rows = np.repeat(np.arange(V), counts)
+        col = np.arange(len(flat)) - starts[sorted_v]
+        inc[for_rows, col] = inc_order
+        # edge ids (same construction as antialias.AATopology) over the
+        # padded table: the degenerate (0,0) edge only shifts the id
+        # numbering uniformly; padded faces never reach a pixel
         e01 = np.sort(faces[:, [0, 1]], 1)
         e12 = np.sort(faces[:, [1, 2]], 1)
         e20 = np.sort(faces[:, [2, 0]], 1)
         all_e = np.concatenate([e01, e12, e20], 0).astype(np.int64)
         h = all_e[:, 0] * V + all_e[:, 1]
         _, inv = np.unique(h, return_inverse=True)
-        eids = inv.reshape(3, F).T.astype(np.int32)
-        # vertex -> (face, corner) incidence
-        flat = faces.reshape(-1)  # value = vertex id, index = face*3+corner
-        order = np.argsort(flat, kind="stable").astype(np.int32)
-        sorted_v = flat[order]
-        counts = np.bincount(flat, minlength=V)
-        D = max(1, int(counts.max()) if F else 1)
-        inc = np.full((V, D), 3 * F, np.int32)
-        starts = np.concatenate([[0], np.cumsum(counts)])
-        for_rows = np.repeat(np.arange(V), counts)
-        col = np.arange(len(flat)) - starts[sorted_v]
-        inc[for_rows, col] = order
+        eids = inv.reshape(3, Fpad).T.astype(np.int32)
         return cls(faces=faces, face_edge_ids=eids, vert_incidence=inc,
-                   num_vertices=V, ext_face_ids=ext_ids)
+                   num_vertices=V, ext_face_ids=ext_ids,
+                   num_faces_real=F)
 
 
 def default_max_span(F: int, H: int, W: int) -> int:
@@ -301,32 +317,50 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
 
     Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
     g_list [g_pad] int32, g_cnt scalar int32).
+
+    Counting-sort formulation: a dense [nc, T] hit indicator gives each
+    pair's position directly (per-tile offset from a cumsum over tiles +
+    rank from a cumsum over chunks) and ONE scatter places the chunk
+    ids — no O(nc·max_span · log) sort. At production geometry the
+    indicator is ~140k int32 per view. Output is bit-identical to the
+    sorted formulation (pairs grouped by tile, chunk-ascending within a
+    tile, tail tiles dropped beyond pair_cap) — pinned by
+    tests/test_deferred.py::test_build_lists_matches_sort.
     """
     T, nc = p["T"], p["nc"]
     S = max_span
+    tiles_x = p["tiles_x"]
+    cap = p["pair_cap"]
     ctx0, cty0, cspan_x, cspan_y, any_valid = _chunk_bboxes(
         sx, sy, w, p, H, W)
     n_tiles = cspan_x * cspan_y
     g_mask = any_valid & (n_tiles > S)   # oversize chunks: every tile
     emit = any_valid & ~g_mask
 
-    slots = jnp.arange(S, dtype=jnp.int32)
-    dx = slots[None, :] % jnp.maximum(cspan_x, 1)[:, None]
-    dy = slots[None, :] // jnp.maximum(cspan_x, 1)[:, None]
-    live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
-    tile = (cty0[:, None] + dy) * p["tiles_x"] + (ctx0[:, None] + dx)
-    chunk = jnp.arange(nc, dtype=jnp.int32)[:, None]
-    dead = T * nc
-    # each chunk emits each tile at most once -> sorted keys are unique
-    key = jax.lax.sort(
-        jnp.where(live, tile * nc + chunk, dead).reshape(-1))
-    key = key[:p["pair_cap"]]
-
     t_ar = jnp.arange(T, dtype=jnp.int32)
-    tile_of = key // nc
-    starts = jnp.searchsorted(tile_of, t_ar, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_of, t_ar, side="right").astype(jnp.int32)
-    chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
+    tx = t_ar % tiles_x
+    ty = t_ar // tiles_x
+    hit = (
+        emit[:, None]
+        & (tx[None, :] >= ctx0[:, None])
+        & (tx[None, :] < (ctx0 + cspan_x)[:, None])
+        & (ty[None, :] >= cty0[:, None])
+        & (ty[None, :] < (cty0 + cspan_y)[:, None])
+    )                                                  # [nc, T]
+    hit_i = hit.astype(jnp.int32)
+    rank = jnp.cumsum(hit_i, axis=0) - hit_i           # exclusive, per tile
+    count = hit_i.sum(axis=0)                          # [T]
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(count)])  # [T+1]
+    pos = offs[None, :T] + rank                        # [nc, T]
+    # live pairs get unique positions; everything else lands in slot
+    # `cap` (one overflow dump cell, sliced off afterwards)
+    pos = jnp.where(hit & (pos < cap), pos, cap).reshape(-1)
+    chunk = jnp.broadcast_to(
+        jnp.arange(nc, dtype=jnp.int32)[:, None], (nc, T)).reshape(-1)
+    chunk_list = jnp.zeros(cap + 1, jnp.int32).at[pos].set(chunk)[:cap]
+    starts = jnp.minimum(offs[:T], cap)
+    ends = jnp.minimum(offs[1:], cap)
 
     g_idx = jnp.nonzero(g_mask, size=p["g_cap"],
                         fill_value=0)[0].astype(jnp.int32)
@@ -631,13 +665,14 @@ def _shade_rows(recm, px, py, C):
                 wokf=wokf)
 
 
-def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, sta_hbm,
-                  tri_buf, sems):
+def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
+                  sta_hbm, tri_buf, sems):
     """Accumulate the winners' [rec, P] record slab over winning chunks
-    (one-hot MXU matmul per chunk, double-buffered pair of DMAs).
+    (one-hot MXU matmul per chunk, double-buffered triple of DMAs).
 
-    The record table is split: dyn_hbm [B, 16, Fpad] carries the
-    per-view rows (coords + id + eids), sta_hbm [B_s, rec-16, Fpad] the
+    The record table is split three ways: dyn_hbm [B, 12, Fpad] carries
+    the per-view coord rows, ids_hbm [1, 4, Fpad] the STATIC id/edge-id
+    rows (one copy, a jit constant), sta_hbm [B_s, rec-16, Fpad] the
     attribute rows (B_s = 1 when attributes are shared across views —
     the common case — so no per-view broadcast is ever materialized).
     """
@@ -650,10 +685,13 @@ def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, sta_hbm,
         return (
             pltpu.make_async_copy(
                 dyn_hbm.at[b, :, pl.ds(k0, K)],
-                tri_buf.at[slot_i, 0:16], sems.at[slot_i, 0]),
+                tri_buf.at[slot_i, 0:12], sems.at[slot_i, 0]),
+            pltpu.make_async_copy(
+                ids_hbm.at[0, :, pl.ds(k0, K)],
+                tri_buf.at[slot_i, 12:16], sems.at[slot_i, 1]),
             pltpu.make_async_copy(
                 sta_hbm.at[bs, :, pl.ds(k0, K)],
-                tri_buf.at[slot_i, 16:rec], sems.at[slot_i, 1]),
+                tri_buf.at[slot_i, 16:rec], sems.at[slot_i, 2]),
         )
 
     @pl.when(wcnt > 0)
@@ -699,10 +737,12 @@ def _make_passb_kernel(p, C):
     Background tiles (wcnt = 0) cost nothing.
     """
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, dyn_hbm, sta_hbm, pix_ref):
+    def kernel(wmeta_ref, wlist_ref, slot_ref, dyn_hbm, ids_hbm, sta_hbm,
+               pix_ref):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] VMEM int32
-        # dyn_hbm [B, 16, Fpad] / sta_hbm [B_s, rec-16, Fpad] ANY
+        # dyn_hbm [B, 12, Fpad] / ids_hbm [1, 4, Fpad] /
+        # sta_hbm [B_s, rec-16, Fpad] ANY
         # pix_ref [1,1,rows_out,P] VMEM f32
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -712,7 +752,7 @@ def _make_passb_kernel(p, C):
 
         def body(tri_buf, sems):
             recm = _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col,
-                                 dyn_hbm, sta_hbm, tri_buf, sems)
+                                 dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems)
             px, py = _pix_ndc(p, t)
             f = _shade_rows(recm, px, py, C)
             m = f["m"]
@@ -736,7 +776,7 @@ def _make_passb_kernel(p, C):
         pl.run_scoped(
             body,
             tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((2, 2)),
+            sems=pltpu.SemaphoreType.DMA((2, 3)),
         )
 
     return kernel
@@ -852,12 +892,12 @@ def _make_bwd_kernel(p, C):
     rec = p["rec"]
     K = _CHUNK
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, sta_hbm,
-               zeros_ref, gtab_hbm, tri_buf, grec_scr, stage_in, stage_out,
-               sems_t, sems_r, sems_w):
+    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
+               sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr, stage_in,
+               stage_out, sems_t, sems_r, sems_w):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] int32; g_ref [1,1,rows_out,P] f32
-        # dyn/sta_hbm: forward record table blocks (re-read)
+        # dyn/ids/sta_hbm: forward record table blocks (re-read)
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
         # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
         del zeros_ref
@@ -870,7 +910,7 @@ def _make_bwd_kernel(p, C):
 
         # ---- re-extract winners' records, run the VJP
         recm = _extract_loop(p, b, bs, n_iter, wlist_ref, slot_col,
-                             dyn_hbm, sta_hbm, tri_buf, sems_t)
+                             dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems_t)
         px, py = _pix_ndc(p, t)
         coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
         for i, r in enumerate(coord_rows):
@@ -999,18 +1039,23 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             af = at[faces_flat].reshape(F, 3, B, C)
             attr_t = af.transpose(2, 1, 3, 0).reshape(B, 3 * C, F)
 
-        ids_row = jnp.broadcast_to(
-            jnp.asarray(topo.ext_face_ids)[None, None, :], (B, 1, F))
-        eids_row = jnp.broadcast_to(
-            jnp.asarray(eids_np.T)[None], (B, 3, F))
-        # split record table: per-view dynamic rows (coords+id+eids = 16
-        # exactly) and attribute rows (ONE copy when shared across views
-        # — no [B, 3C, F] broadcast is ever materialized)
-        tab_dyn = jnp.pad(
-            jnp.concatenate([coords_t, ids_row, eids_row], axis=1),
-            ((0, 0), (0, 0), (0, Fpad - F)))             # [B, 16, Fpad]
-        tab_sta = jnp.pad(
-            attr_t, ((0, 0), (0, rec - 16 - 3 * C), (0, Fpad - F)))
+        # three-way record table: per-view dynamic coord rows, ONE static
+        # id/edge-id block (a jit constant — never broadcast to B or
+        # concatenated per step), and the attribute rows (ONE copy when
+        # shared across views). Fpad == F when the topology was built by
+        # DeferredTopology.build (it pre-pads with degenerate faces).
+        tab_dyn = coords_t                               # [B, 12, Fpad]
+        tab_ids = jnp.concatenate(
+            [jnp.asarray(topo.ext_face_ids)[None, None, :],
+             jnp.asarray(eids_np.T)[None]], axis=1)      # [1, 4, Fpad]
+        tab_sta = attr_t
+        if Fpad > F:
+            tab_dyn = jnp.pad(tab_dyn, ((0, 0), (0, 0), (0, Fpad - F)))
+            tab_ids = jnp.pad(tab_ids, ((0, 0), (0, 0), (0, Fpad - F)))
+            tab_sta = jnp.pad(tab_sta, ((0, 0), (0, 0), (0, Fpad - F)))
+        if rec > 16 + 3 * C:
+            tab_sta = jnp.pad(
+                tab_sta, ((0, 0), (0, rec - 16 - 3 * C), (0, 0)))
 
         # pass-A coefficient table + anchors
         tab_a, anchors = jax.vmap(
@@ -1075,6 +1120,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, 1, rows_out, _PIX),
                                    lambda b, t: (b, t, 0, 0),
@@ -1082,7 +1128,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             out_shape=jax.ShapeDtypeStruct((B, T, rows_out, _PIX),
                                            jnp.float32),
             interpret=interpret,
-        )(wmeta, wlist[:, :, None], slot, tab_dyn, tab_sta)
+        )(wmeta, wlist[:, :, None], slot, tab_dyn, tab_ids, tab_sta)
 
         # [B, T, rows_out, P] -> [rows_used, B, H, W]
         pix = outf[:, :, :rows_used].reshape(
@@ -1090,20 +1136,20 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         pix = pix.transpose(3, 0, 1, 4, 2, 5).reshape(rows_used, B, Hp, Wp)
         pix = pix[:, :, :H, :W]
         ids = jnp.round(pix[9 + C]).astype(jnp.int32)
-        return pix, ids, slot, wmeta, wlist, tab_dyn, tab_sta
+        return pix, ids, slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta
 
     def core(clip, attr):
-        pix, ids, _, _, _, _, _ = _fwd_impl(clip, attr)
-        return pix, ids
+        return _fwd_impl(clip, attr)[:2]
 
     def core_fwd(clip, attr):
-        pix, ids, slot, wmeta, wlist, tab_dyn, tab_sta = _fwd_impl(clip, attr)
-        return (pix, ids), (slot, wmeta, wlist, tab_dyn, tab_sta,
+        (pix, ids, slot, wmeta, wlist, tab_dyn, tab_ids,
+         tab_sta) = _fwd_impl(clip, attr)
+        return (pix, ids), (slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta,
                             clip.shape[0])
 
     def core_bwd(res, cts):
         g_pix, _ = cts
-        slot, wmeta, wlist, tab_dyn, tab_sta, B = res
+        slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, B = res
 
         # [rows_used, B, H, W] -> [B, T, rows_out, P]
         g = jnp.pad(g_pix, ((0, rows_out - rows_used), (0, 0),
@@ -1130,6 +1176,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B, rec, Fpad), jnp.float32),
@@ -1138,14 +1185,15 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 pltpu.VMEM((rec, _PIX), jnp.float32),
                 pltpu.VMEM((2, rec, K), jnp.float32),
                 pltpu.VMEM((2, rec, K), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            input_output_aliases={6: 0},
+            input_output_aliases={7: 0},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_sta, zeros)
+        )(wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_ids, tab_sta,
+          zeros)
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
@@ -1189,10 +1237,16 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
     budget int). Run once at scene setup; the budget is static thereafter.
     """
     H, W = resolution
+    faces = np.asarray(faces, np.int32)
     F = int(faces.shape[0])
+    # same degenerate-face padding as DeferredTopology.build so the audit
+    # sees exactly the runtime's chunk bboxes
+    Fp = _round_up(max(F, 1), _CHUNK)
+    if Fp > F:
+        faces = np.concatenate([faces, np.zeros((Fp - F, 3), np.int32)])
     if max_span is None:
         max_span = default_max_span(F, H, W)
-    p = _plan(F, 0, 0, H, W, max_span, 64)
+    p = _plan(Fp, 0, 0, H, W, max_span, 64)
     nc, T = p["nc"], p["T"]
 
     @jax.jit

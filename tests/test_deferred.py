@@ -268,3 +268,60 @@ def test_deferred_gradients_degenerate_faces():
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gxa), np.asarray(gda),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_build_lists_matches_sort(scene):
+    """The counting-sort work-list build is bit-identical to the original
+    sorted-keys formulation."""
+    from fmhr_tpu.raster.deferred import (
+        _plan, _build_lists, _chunk_bboxes, W_EPS)
+
+    clip, faces, attr = scene
+    res = (32, 256)
+    topo = DeferredTopology.build(faces, clip.shape[1])
+    F = topo.faces.shape[0]
+    p = _plan(F, clip.shape[1], attr.shape[-1], res[0], res[1], 8, 64)
+
+    def sort_oracle(sx, sy, w):
+        T, nc = p["T"], p["nc"]
+        S = 8
+        ctx0, cty0, cspan_x, cspan_y, any_valid = _chunk_bboxes(
+            sx, sy, w, p, res[0], res[1])
+        n_tiles = cspan_x * cspan_y
+        g_mask = any_valid & (n_tiles > S)
+        emit = any_valid & ~g_mask
+        slots = jnp.arange(S, dtype=jnp.int32)
+        dx = slots[None, :] % jnp.maximum(cspan_x, 1)[:, None]
+        dy = slots[None, :] // jnp.maximum(cspan_x, 1)[:, None]
+        live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
+        tile = (cty0[:, None] + dy) * p["tiles_x"] + (ctx0[:, None] + dx)
+        chunk = jnp.arange(nc, dtype=jnp.int32)[:, None]
+        dead = T * nc
+        key = jax.lax.sort(
+            jnp.where(live, tile * nc + chunk, dead).reshape(-1))
+        key = key[:p["pair_cap"]]
+        t_ar = jnp.arange(T, dtype=jnp.int32)
+        tile_of = key // nc
+        starts = jnp.searchsorted(tile_of, t_ar, "left").astype(jnp.int32)
+        ends = jnp.searchsorted(tile_of, t_ar, "right").astype(jnp.int32)
+        chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
+        return chunk_list, starts, ends
+
+    for b in range(clip.shape[0]):
+        tri = clip[b][jnp.asarray(topo.faces)]
+        w = tri[..., 3].T
+        iw = 1.0 / jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+        sx = tri[..., 0].T * iw
+        sy = tri[..., 1].T * iw
+        cl, st, en, gl, gc = _build_lists(
+            sx, sy, w, p, H=res[0], W=res[1], max_span=8)
+        cl0, st0, en0 = sort_oracle(sx, sy, w)
+        np.testing.assert_array_equal(np.asarray(st), np.asarray(st0))
+        np.testing.assert_array_equal(np.asarray(en), np.asarray(en0))
+        # compare chunk ids over the live ranges only (dead slots are 0
+        # in both but not load-bearing)
+        st_np, en_np = np.asarray(st), np.asarray(en)
+        for t in range(p["T"]):
+            np.testing.assert_array_equal(
+                np.asarray(cl)[st_np[t]:en_np[t]],
+                np.asarray(cl0)[st_np[t]:en_np[t]])
