@@ -112,6 +112,10 @@ def make_sharded_ham_step(
                 [normals, params["albedo"], jnp.ones_like(verts[:, :1])], -1
             ),
             faces, res, aa_topology=topo_aa,
+            # on TPU the deferred Pallas core runs under shard_map over
+            # the views axis (GSPMD cannot partition a pallas_call); the
+            # XLA paths ignore this and partition natively
+            mesh=mesh, views_axis="views",
         )
         pred_normals = safe_normalize(feat[..., :3])
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]

@@ -252,10 +252,11 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
     On TPU, `impl='auto'` routes to the deferred-shading Pallas path
     (raster/deferred.py): one kernel pass yields the winning triangle's
     full record per pixel and a custom_vjp backward with no pixel-sized
-    gathers or scatter-adds. Note: the Pallas call is not GSPMD-
-    partitionable — under multi-device sharding, wrap the render in
-    shard_map so each device rasterizes its own view/row shard (see
-    dist/sharding.py). Explicit impl= values keep the XLA paths.
+    gathers or scatter-adds. A Pallas call is not GSPMD-partitionable —
+    under multi-device sharding pass `mesh=` (and optionally
+    `views_axis=`) so the deferred core runs under shard_map with each
+    device rasterizing its own view shard (see dist/sharding.py).
+    Explicit impl= values keep the XLA paths.
 
     The corner gather is the dominant per-pixel cost on the XLA paths
     (~10 ms per gather at 512²x4); concatenating clip and attributes into
@@ -276,10 +277,14 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
                     max_span=kw.get("max_span"),
                     rows_budget=kw.get("rows_budget"),
                     with_aa=aa_topology is not None,
+                    mesh=kw.get("mesh"),
+                    views_axis=kw.get("views_axis", "views"),
                     interpret=on_cpu)
     kw.pop("rows_budget", None)
     kw.pop("max_span", None)
     kw.pop("face_order", None)
+    kw.pop("mesh", None)
+    kw.pop("views_axis", None)
 
     faces = jnp.asarray(faces, jnp.int32)
     h, w = resolution

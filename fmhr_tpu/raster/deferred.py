@@ -1272,7 +1272,8 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            *, max_span: int | None = None,
                            global_cap: int = 64, rows_budget: int | None = None,
                            winner_cap: int = 128,
-                           with_aa: bool = True, interpret: bool = False):
+                           with_aa: bool = True, interpret: bool = False,
+                           mesh=None, views_axis: str = "views"):
     """Deferred-path drop-in for api.render_pixels.
 
     clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
@@ -1281,6 +1282,14 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
     kernel; only the antialias pass (which needs cross-pixel neighbors)
     stays in XLA, fed by the per-pixel screen coords/edge ids the kernel
     emits.
+
+    Multi-chip: pass the device `mesh` to run the Pallas core under
+    `shard_map` over `views_axis` — each device rasterizes its own view
+    shard (GSPMD cannot partition a pallas_call by itself). Per-view
+    outputs/gradients stay local; the replicated-attribute gradient
+    psums across the axis via the shard_map transpose. Validated against
+    the single-device path on a virtual CPU mesh
+    (tests/test_dist.py::test_deferred_sharded_matches_single).
     """
     from .antialias import antialias_weights
 
@@ -1293,6 +1302,21 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                              rows_budget=rows_budget, winner_cap=winner_cap,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret)
+    if mesh is not None and views_axis in mesh.axis_names:
+        try:
+            from jax import shard_map
+        except ImportError:  # pre-0.8 jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        vspec = P(views_axis)
+        attr_spec = P() if attr.ndim == 2 else vspec
+        sm_kw = dict(mesh=mesh, in_specs=(vspec, attr_spec),
+                     out_specs=(P(None, views_axis), vspec))
+        try:
+            core = shard_map(core, check_vma=False, **sm_kw)
+        except TypeError:  # older jax spelling
+            core = shard_map(core, check_rep=False, **sm_kw)
     pix, ids = core(clip, attr)
 
     mask = ids > 0

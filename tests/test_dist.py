@@ -200,3 +200,41 @@ def _loss_for_test(params, batch, vertices, faces, topo, topo_aa, cfg):
     edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
     delta_l = cfg.delta_weight * jnp.mean(jnp.sum(params["delta"] ** 2, -1))
     return sfs + lap + mask_l + edge_l + delta_l
+
+
+def test_deferred_sharded_matches_single():
+    """The deferred Pallas core under shard_map over a views mesh is
+    bit-equal (fwd and grads) to the single-device core."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fmhr_tpu.raster.deferred import (
+        DeferredTopology, render_pixels_deferred)
+    from tests.test_deferred import sphere_scene
+
+    clip, faces, attr = sphere_scene(n_views=4, res=(32, 128))
+    res = (32, 128)
+    topo = DeferredTopology.build(faces, clip.shape[1])
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("views",))
+
+    def run(mesh_arg, clip, attr):
+        rast, feat, aa_w = render_pixels_deferred(
+            clip, attr, topo, res, max_span=8, interpret=True,
+            mesh=mesh_arg)
+        return rast, feat
+
+    def loss(mesh_arg, clip, attr):
+        rast, feat = run(mesh_arg, clip, attr)
+        return jnp.sum(feat ** 2) + jnp.sum(rast[..., :3] ** 2)
+
+    r0, f0 = run(None, clip, attr)
+    clip_s = jax.device_put(clip, NamedSharding(mesh, P("views")))
+    attr_s = jax.device_put(attr, NamedSharding(mesh, P()))
+    r1, f1 = jax.jit(lambda c, a: run(mesh, c, a))(clip_s, attr_s)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+    g0 = jax.grad(lambda c, a: loss(None, c, a), argnums=(0, 1))(clip, attr)
+    g1 = jax.jit(jax.grad(lambda c, a: loss(mesh, c, a),
+                          argnums=(0, 1)))(clip_s, attr_s)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
