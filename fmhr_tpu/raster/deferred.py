@@ -585,16 +585,28 @@ def _winner_lists(slot, p):
     (wlist [B, T, wcap] int32, wcnt [B, T] int32). Tiles with more than
     wcap distinct winning chunks keep the lowest-numbered wcap; pass B
     renders the overflow pixels as background (audited in tests).
+
+    Counting-sort formulation (no per-tile sorts of the P axis): one
+    presence scatter into [B, T, nc], a cumsum over nc for the ascending
+    rank, and one scatter into the list. Bit-identical to the original
+    double-sort (tests/test_deferred.py::test_winner_lists_matches_sort).
     """
     nc, wcap = p["nc"], p["wcap"]
-    c = jnp.where(slot >= 0, slot // _CHUNK, nc)
-    s = jnp.sort(c, axis=-1)
-    first = jnp.concatenate(
-        [jnp.ones(s.shape[:-1] + (1,), bool),
-         s[..., 1:] != s[..., :-1]], axis=-1) & (s < nc)
-    keys = jnp.where(first, s, nc)
-    wlist = jnp.sort(keys, axis=-1)[..., :wcap].astype(jnp.int32)
-    wcnt = jnp.minimum(jnp.sum(first, axis=-1), wcap).astype(jnp.int32)
+    B, T, P = slot.shape
+    c = jnp.where(slot >= 0, slot // _CHUNK, nc)           # [B, T, P]
+    b_i = jax.lax.broadcasted_iota(jnp.int32, (B, T, P), 0)
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (B, T, P), 1)
+    present = jnp.zeros((B, T, nc + 1), jnp.bool_).at[b_i, t_i, c].set(True)
+    present = present[..., :nc]                            # [B, T, nc]
+    pi = present.astype(jnp.int32)
+    rank = jnp.cumsum(pi, axis=-1) - pi                    # ascending
+    wcnt = jnp.minimum(pi.sum(-1), wcap).astype(jnp.int32)
+    pos = jnp.where(present & (rank < wcap), rank, wcap)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (B, T, nc), 0)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (B, T, nc), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (B, T, nc), 2)
+    wlist = jnp.full((B, T, wcap + 1), nc, jnp.int32)
+    wlist = wlist.at[bb, tt, pos].set(cc)[..., :wcap]
     return wlist, wcnt
 
 

@@ -325,3 +325,34 @@ def test_build_lists_matches_sort(scene):
             np.testing.assert_array_equal(
                 np.asarray(cl)[st_np[t]:en_np[t]],
                 np.asarray(cl0)[st_np[t]:en_np[t]])
+
+
+def test_winner_lists_matches_sort(scene):
+    """Counting-sort winner-list compaction is bit-identical to the
+    original double-sort formulation."""
+    from fmhr_tpu.raster.deferred import _plan, _winner_lists
+
+    rng = np.random.default_rng(7)
+    p = _plan(5 * 128, 100, 4, 32, 256, 8, 64, winner_cap=16)
+    nc, wcap = p["nc"], p["wcap"]
+    # random slots incl. background and dense multi-chunk tiles
+    slot = rng.integers(-1, 5 * 128, size=(2, 6, 1024)).astype(np.int32)
+    slot[0, 0] = -1                      # empty tile
+    slot[0, 1] = np.arange(1024) % (5 * 128)  # every chunk present
+    sj = jnp.asarray(slot)
+
+    def sort_oracle(s):
+        c = jnp.where(s >= 0, s // 128, nc)
+        srt = jnp.sort(c, axis=-1)
+        first = jnp.concatenate(
+            [jnp.ones(srt.shape[:-1] + (1,), bool),
+             srt[..., 1:] != srt[..., :-1]], axis=-1) & (srt < nc)
+        keys = jnp.where(first, srt, nc)
+        wl = jnp.sort(keys, axis=-1)[..., :wcap].astype(jnp.int32)
+        wc = jnp.minimum(jnp.sum(first, axis=-1), wcap).astype(jnp.int32)
+        return wl, wc
+
+    wl0, wc0 = sort_oracle(sj)
+    wl1, wc1 = _winner_lists(sj, p)
+    np.testing.assert_array_equal(np.asarray(wc0), np.asarray(wc1))
+    np.testing.assert_array_equal(np.asarray(wl0), np.asarray(wl1))
