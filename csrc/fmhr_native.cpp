@@ -11,6 +11,7 @@
 // point.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -135,6 +136,190 @@ int64_t loop_subdivide_faces(const int32_t* faces, int64_t num_faces,
     o[9] = mab; o[10] = mbc; o[11] = mca;
   }
   return E;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Marching tetrahedra (the SAP isosurface hot loop: runs on the host at
+// EVERY Shape-As-Points optimization step via pure_callback — see
+// fmhr_tpu/recon/marching.py, which defines the semantics and carries the
+// NumPy fallback; this is a drop-in producing the identical mesh).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// same cube decomposition / case table as recon/marching.py
+const int kCorner[8][3] = {{0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+                           {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
+const int kTets[6][4] = {{0, 1, 2, 6}, {0, 2, 3, 6}, {0, 3, 7, 6},
+                         {0, 7, 4, 6}, {0, 4, 5, 6}, {0, 5, 1, 6}};
+// per case: up to 2 triangles of 3 edges (a, b); -1 = none
+const int kTriTable[16][2][3][2] = {
+#define N {-1, -1}
+#define TN {N, N, N}
+    {TN, TN},
+    {{{0, 1}, {0, 2}, {0, 3}}, TN},
+    {{{1, 0}, {1, 2}, {1, 3}}, TN},
+    {{{0, 2}, {0, 3}, {1, 3}}, {{0, 2}, {1, 3}, {1, 2}}},
+    {{{2, 0}, {2, 1}, {2, 3}}, TN},
+    {{{0, 1}, {0, 3}, {2, 3}}, {{0, 1}, {2, 3}, {2, 1}}},
+    {{{1, 0}, {1, 3}, {2, 3}}, {{1, 0}, {2, 3}, {2, 0}}},
+    {{{3, 0}, {3, 1}, {3, 2}}, TN},
+    {{{3, 0}, {3, 1}, {3, 2}}, TN},
+    {{{1, 0}, {1, 3}, {2, 3}}, {{1, 0}, {2, 3}, {2, 0}}},
+    {{{0, 1}, {0, 3}, {2, 3}}, {{0, 1}, {2, 3}, {2, 1}}},
+    {{{2, 0}, {2, 1}, {2, 3}}, TN},
+    {{{0, 2}, {0, 3}, {1, 3}}, {{0, 2}, {1, 3}, {1, 2}}},
+    {{{1, 0}, {1, 2}, {1, 3}}, TN},
+    {{{0, 1}, {0, 2}, {0, 3}}, TN},
+    {TN, TN},
+#undef TN
+#undef N
+};
+
+struct MtVert {
+  int64_t key;    // lo * nvox + hi
+  int64_t lo, hi;
+};
+
+// central-difference gradient of grid (np.gradient semantics) trilinearly
+// interpolated at index-space point p
+inline void grid_grad_at(const double* g, int64_t r0, int64_t r1, int64_t r2,
+                         const double p[3], double out[3]) {
+  int64_t i0[3];
+  const int64_t res[3] = {r0, r1, r2};
+  double f[3];
+  for (int d = 0; d < 3; ++d) {
+    int64_t v = (int64_t)std::floor(p[d]);
+    if (v < 0) v = 0;
+    if (v > res[d] - 2) v = res[d] - 2;
+    i0[d] = v;
+    f[d] = p[d] - (double)v;
+  }
+  auto grad1 = [&](int64_t x, int64_t y, int64_t z, int d) -> double {
+    const int64_t idx[3] = {x, y, z};
+    const int64_t s[3] = {r1 * r2, r2, 1};
+    const int64_t i = x * r1 * r2 + y * r2 + z;
+    if (idx[d] == 0) return g[i + s[d]] - g[i];
+    if (idx[d] == res[d] - 1) return g[i] - g[i - s[d]];
+    return 0.5 * (g[i + s[d]] - g[i - s[d]]);
+  };
+  out[0] = out[1] = out[2] = 0.0;
+  for (int cx = 0; cx < 2; ++cx)
+    for (int cy = 0; cy < 2; ++cy)
+      for (int cz = 0; cz < 2; ++cz) {
+        const double w = (cx ? f[0] : 1 - f[0]) * (cy ? f[1] : 1 - f[1]) *
+                         (cz ? f[2] : 1 - f[2]);
+        for (int d = 0; d < 3; ++d)
+          out[d] += w * grad1(i0[0] + cx, i0[1] + cy, i0[2] + cz, d);
+      }
+}
+
+}  // namespace
+
+extern "C" {
+
+// grid: [r0*r1*r2] float64 row-major. Writes verts ([*counts0, 3] f32 in
+// the [0,1) cube), faces ([counts1, 3] i32, winding agreeing with the
+// gradient-ascent normals), normals ([counts0, 3] f32). counts = {nv, nf}.
+// Returns 0, or -1 if max_v/max_f would be exceeded.
+int64_t marching_tets(const double* grid, int64_t r0, int64_t r1, int64_t r2,
+                      double level, float* out_verts, int32_t* out_faces,
+                      float* out_normals, int64_t max_v, int64_t max_f,
+                      int64_t* counts) {
+  const int64_t nvox = r0 * r1 * r2;
+  std::vector<int64_t> face_keys;  // 3 per face, edge-keyed
+  face_keys.reserve(1 << 16);
+  for (int64_t cx = 0; cx + 1 < r0; ++cx)
+    for (int64_t cy = 0; cy + 1 < r1; ++cy)
+      for (int64_t cz = 0; cz + 1 < r2; ++cz) {
+        int64_t cid[8];
+        double val[8];
+        for (int k = 0; k < 8; ++k) {
+          cid[k] = (cx + kCorner[k][0]) * r1 * r2 +
+                   (cy + kCorner[k][1]) * r2 + (cz + kCorner[k][2]);
+          val[k] = grid[cid[k]];
+        }
+        for (int t = 0; t < 6; ++t) {
+          int c = 0;
+          for (int k = 0; k < 4; ++k)
+            if (val[kTets[t][k]] > level) c |= 1 << k;
+          for (int j = 0; j < 2; ++j) {
+            if (kTriTable[c][j][0][0] < 0) continue;
+            for (int e = 0; e < 3; ++e) {
+              const int64_t ga = cid[kTets[t][kTriTable[c][j][e][0]]];
+              const int64_t gb = cid[kTets[t][kTriTable[c][j][e][1]]];
+              const int64_t lo = ga < gb ? ga : gb;
+              const int64_t hi = ga < gb ? gb : ga;
+              face_keys.push_back(lo * nvox + hi);
+            }
+          }
+        }
+      }
+  const int64_t nf = (int64_t)face_keys.size() / 3;
+  if (nf > max_f) return -1;
+
+  // unique sorted keys -> same vertex order as np.unique in the fallback
+  std::vector<int64_t> uniq(face_keys);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  const int64_t nv = (int64_t)uniq.size();
+  if (nv > max_v) return -1;
+
+  std::vector<double> vidx((size_t)nv * 3);
+  for (int64_t i = 0; i < nv; ++i) {
+    const int64_t lo = uniq[(size_t)i] / nvox, hi = uniq[(size_t)i] % nvox;
+    const double va = grid[lo], vb = grid[hi];
+    double t = (level - va) / (vb == va ? 1.0 : vb - va);
+    if (t < 0) t = 0;
+    if (t > 1) t = 1;
+    const double pa[3] = {(double)(lo / (r1 * r2)), (double)((lo / r2) % r1),
+                          (double)(lo % r2)};
+    const double pb[3] = {(double)(hi / (r1 * r2)), (double)((hi / r2) % r1),
+                          (double)(hi % r2)};
+    for (int d = 0; d < 3; ++d)
+      vidx[(size_t)(i * 3 + d)] = pa[d] + t * (pb[d] - pa[d]);
+    double gdir[3];
+    grid_grad_at(grid, r0, r1, r2, &vidx[(size_t)(i * 3)], gdir);
+    const double n =
+        std::max(std::sqrt(gdir[0] * gdir[0] + gdir[1] * gdir[1] +
+                           gdir[2] * gdir[2]),
+                 1e-20);
+    for (int d = 0; d < 3; ++d)
+      out_normals[i * 3 + d] = (float)(gdir[d] / n);
+    out_verts[i * 3 + 0] = (float)(vidx[(size_t)(i * 3 + 0)] / (double)r0);
+    out_verts[i * 3 + 1] = (float)(vidx[(size_t)(i * 3 + 1)] / (double)r1);
+    out_verts[i * 3 + 2] = (float)(vidx[(size_t)(i * 3 + 2)] / (double)r2);
+  }
+
+  for (int64_t f = 0; f < nf; ++f) {
+    int32_t vi[3];
+    for (int e = 0; e < 3; ++e) {
+      const auto it = std::lower_bound(uniq.begin(), uniq.end(),
+                                       face_keys[(size_t)(f * 3 + e)]);
+      vi[e] = (int32_t)(it - uniq.begin());
+    }
+    // winding: face normal must agree with the summed vertex normals
+    double e1[3], e2[3], fn[3], ns[3] = {0, 0, 0};
+    for (int d = 0; d < 3; ++d) {
+      e1[d] = vidx[(size_t)(vi[1] * 3 + d)] - vidx[(size_t)(vi[0] * 3 + d)];
+      e2[d] = vidx[(size_t)(vi[2] * 3 + d)] - vidx[(size_t)(vi[0] * 3 + d)];
+      ns[d] = (double)out_normals[vi[0] * 3 + d] +
+              (double)out_normals[vi[1] * 3 + d] +
+              (double)out_normals[vi[2] * 3 + d];
+    }
+    fn[0] = e1[1] * e2[2] - e1[2] * e2[1];
+    fn[1] = e1[2] * e2[0] - e1[0] * e2[2];
+    fn[2] = e1[0] * e2[1] - e1[1] * e2[0];
+    const bool flip = fn[0] * ns[0] + fn[1] * ns[1] + fn[2] * ns[2] < 0;
+    out_faces[f * 3 + 0] = vi[0];
+    out_faces[f * 3 + 1] = flip ? vi[2] : vi[1];
+    out_faces[f * 3 + 2] = flip ? vi[1] : vi[2];
+  }
+  counts[0] = nv;
+  counts[1] = nf;
+  return 0;
 }
 
 }  // extern "C"

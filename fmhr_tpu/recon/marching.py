@@ -100,6 +100,17 @@ def marching_tets(grid: np.ndarray, level: float = 0.0):
     the field's zero set is.
     """
     grid = np.asarray(grid, np.float64)
+    from ..utils import native
+    got = native.marching_tets(grid, level)
+    if got is not None:
+        return got
+    return _marching_tets_numpy(grid, level)
+
+
+def _marching_tets_numpy(grid, level=0.0):
+    """Vectorized NumPy fallback; produces the identical mesh (vertex
+    order, faces, winding) to the C++ path — pinned by
+    tests/test_sap.py::test_marching_tets_native_matches_numpy."""
     r0, r1, r2 = grid.shape
     flat = grid.reshape(-1)
 

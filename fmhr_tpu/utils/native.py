@@ -67,6 +67,15 @@ def _load():
     lib.loop_subdivide_faces.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, ctypes.c_int64,
     ]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.marching_tets.restype = ctypes.c_int64
+    lib.marching_tets.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, f32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64,
+        i64p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -124,3 +133,37 @@ def loop_subdivide_faces(faces: np.ndarray, num_vertices: int):
     if n < 0:
         return None
     return out_f, out_e[:n].copy()
+
+
+def marching_tets(grid: np.ndarray, level: float = 0.0,
+                  max_verts: int | None = None,
+                  max_faces: int | None = None):
+    """C++ marching tetrahedra (the SAP per-step isosurface hot loop);
+    returns (verts [nv, 3] f32 in the [0, 1) cube, faces [nf, 3] i32,
+    normals [nv, 3] f32) or None. Identical mesh (vertex/face order and
+    winding included) to the NumPy fallback in fmhr_tpu/recon/marching.py.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    grid = np.ascontiguousarray(grid, np.float64)
+    r0, r1, r2 = grid.shape
+    ncube = max((r0 - 1) * (r1 - 1) * (r2 - 1), 1)
+    hard_cap = ncube * 12  # 6 tets x <=2 tris, absolute worst case
+    # a closed surface scales like O(r^2); start there and grow on overflow
+    mf = max_faces or min(hard_cap, 32 * max(r0 * r1, r1 * r2, r0 * r2))
+    while True:
+        mv = max_verts or mf * 3 // 2 + 8
+        out_v = np.empty((mv, 3), np.float32)
+        out_f = np.empty((mf, 3), np.int32)
+        out_n = np.empty((mv, 3), np.float32)
+        counts = np.zeros(2, np.int64)
+        rc = lib.marching_tets(grid.reshape(-1), r0, r1, r2, float(level),
+                               out_v.reshape(-1), out_f.reshape(-1),
+                               out_n.reshape(-1), mv, mf, counts)
+        if rc == 0:
+            nv, nf = int(counts[0]), int(counts[1])
+            return out_v[:nv].copy(), out_f[:nf].copy(), out_n[:nv].copy()
+        if max_faces is not None or mf >= hard_cap:
+            return None
+        mf = min(mf * 4, hard_cap)

@@ -214,3 +214,27 @@ def test_gen_inputs_roundtrip():
     # original bounding box
     world = np.asarray(sap_transform(p, center, scale, inverse=True))
     assert (np.abs(world) <= 0.4 + 1e-3).all()
+
+
+def test_marching_tets_native_matches_numpy():
+    from fmhr_tpu.utils import native
+    from fmhr_tpu.recon.marching import _marching_tets_numpy
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(5)
+    # smooth random field with both signs
+    r = 18
+    x = (np.arange(r) + 0.5) / r
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    grid = (0.28 - np.sqrt((X - 0.5) ** 2 + (Y - 0.45) ** 2
+                           + (Z - 0.55) ** 2)
+            + 0.05 * np.sin(9 * X) * np.cos(7 * Y))
+    got = native.marching_tets(np.asarray(grid, np.float64))
+    assert got is not None
+    v1, f1, n1 = got
+    v0, f0, n0 = _marching_tets_numpy(np.asarray(grid, np.float64))
+    assert v0.shape == v1.shape and f0.shape == f1.shape
+    np.testing.assert_allclose(v0, v1, atol=1e-6)
+    np.testing.assert_array_equal(f0, f1)
+    np.testing.assert_allclose(n0, n1, atol=1e-5)
