@@ -83,7 +83,7 @@ def main() -> None:
     )
     from fmhr_tpu.core.sh import sh_radiance
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
-    from fmhr_tpu.raster import (render_pixels, apply_antialias, AATopology)
+    from fmhr_tpu.raster import (render_scene, apply_antialias, AATopology)
 
     (H, W), n_views, subdiv, two_hands, base_refine, iters = PRESETS[args.preset]
     verts, faces, w2cs, projs = hand_scene(
@@ -121,12 +121,11 @@ def main() -> None:
     # backend must ship and has crashed large compiles outright.
     def loss_fn(params, imgs, masks):
         v = verts0 + params["delta"]
-        clip = project_verts(v, w2cs, projs)
         normals = vertex_normals(v, faces_j)
-        rast, feat, aa_w = render_pixels(
-            clip,
+        rast, feat, aa_w = render_scene(
+            v, faces_j, w2cs, projs,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
-            faces_j, (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
             **({"impl": args.impl} if args.impl else {}),
         )
         nrm = safe_normalize(feat[..., :3])
@@ -194,11 +193,10 @@ def main() -> None:
     if args.roofline:
         # winner pairs = distinct winning 128-face chunks per 8x128 tile
         from fmhr_tpu.utils.roofline import deferred_roofline
-        clip = project_verts(verts0 + params["delta"], w2cs, projs)
-        rast, _, _ = render_pixels(
-            clip,
+        rast, _, _ = render_scene(
+            verts0 + params["delta"], faces_j, w2cs, projs,
             jnp.ones((V, 7), jnp.float32),
-            faces_j, (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
         )
         ids = np.asarray(rast[..., 3]).astype(np.int64)
         Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128

@@ -88,7 +88,7 @@ def make_sharded_ham_step(
         vertex_normals, edge_lengths_sq, laplacian_smoothing, safe_normalize,
     )
     from ..core.sh import sh_radiance
-    from ..raster import render_pixels, apply_antialias
+    from ..raster import render_scene, apply_antialias
 
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces, jnp.int32)
@@ -104,14 +104,13 @@ def make_sharded_ham_step(
 
     def loss_fn(params, batch):
         verts = vertices + params["delta"]
-        clip = project_verts(verts, batch["w2cs"], batch["projs"])
         normals = vertex_normals(verts, faces)
-        rast, feat, aa_w = render_pixels(
-            clip,
+        rast, feat, aa_w = render_scene(
+            verts, faces, batch["w2cs"], batch["projs"],
             jnp.concatenate(
                 [normals, params["albedo"], jnp.ones_like(verts[:, :1])], -1
             ),
-            faces, res, aa_topology=topo_aa,
+            res, aa_topology=topo_aa,
             # on TPU the deferred Pallas core runs under shard_map over
             # the views axis (GSPMD cannot partition a pallas_call); the
             # XLA paths ignore this and partition natively

@@ -42,7 +42,7 @@ from ..core.mesh import (
     safe_normalize,
 )
 from ..core.sh import sh_basis, sh_radiance
-from ..raster import (rasterize, render_pixels, interpolate,
+from ..raster import (rasterize, render_pixels, render_scene, interpolate,
                       antialias, antialias_weights, apply_antialias, AATopology)
 from ..utils.config import Config
 
@@ -120,11 +120,10 @@ def sh_init(
     normals = vertex_normals(vertices, faces)  # [V, 3] world space
 
     def one_chunk(w2c, proj, mask, gray, img):
-        clip = project_verts(vertices, w2c, proj)
-        rast, feat, aa_w = render_pixels(
-            clip,
+        rast, feat, aa_w = render_scene(
+            vertices, faces, w2c, proj,
             jnp.concatenate([normals, jnp.ones_like(normals[:, :1])], -1),
-            faces, res, aa_topology=topo_aa, **raster_kw,
+            res, aa_topology=topo_aa, **raster_kw,
         )
         pred_mask = apply_antialias(feat[..., 3:4], aa_w)[..., 0]
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
@@ -248,11 +247,11 @@ def run_ham(
     # ---------------- Stage A: albedo + SH ---------------------------------
     def render_stage_a(albedo_p, sh_p, idx):
         w2c, proj = w2cs[idx], projs[idx]
-        clip = project_verts(vertices, w2c, proj)
         normals = vertex_normals(vertices, faces)
-        rast, feat, aa_w = render_pixels(
-            clip, jnp.concatenate([normals, albedo_p], -1),
-            faces, res, aa_topology=topo_aa, **raster_kw,
+        rast, feat, aa_w = render_scene(
+            vertices, faces, w2c, proj,
+            jnp.concatenate([normals, albedo_p], -1),
+            res, aa_topology=topo_aa, **raster_kw,
         )
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
@@ -290,12 +289,11 @@ def run_ham(
     def stage_b_losses(delta_p, albedo_p, idx, albedo_w):
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
-        clip = project_verts(verts, w2c, proj)
         normals = vertex_normals(verts, faces)
-        rast, feat, aa_w = render_pixels(
-            clip,
+        rast, feat, aa_w = render_scene(
+            verts, faces, w2c, proj,
             jnp.concatenate([normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
-            faces, res, aa_topology=topo_aa, **raster_kw,
+            res, aa_topology=topo_aa, **raster_kw,
         )
         pred_normals = safe_normalize(feat[..., :3])
         rast_albedo = feat[..., 3:6]

@@ -28,9 +28,9 @@ attr = u·a0 + v·a1 + (1−u−v)·a2; `rast[..., 2]` = z/w (screen-linear);
 """
 
 from .api import (rasterize, interpolate, rasterize_ids,
-                  rasterize_with_context, render_pixels)
+                  rasterize_with_context, render_pixels, render_scene)
 from .antialias import antialias, antialias_weights, apply_antialias, AATopology
 
 __all__ = ["rasterize", "interpolate", "rasterize_ids",
-           "rasterize_with_context", "render_pixels", "antialias",
+           "rasterize_with_context", "render_pixels", "render_scene", "antialias",
            "antialias_weights", "apply_antialias", "AATopology"]

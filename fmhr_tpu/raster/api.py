@@ -241,6 +241,42 @@ def _deferred_topology_for(faces, num_vertices: int, face_order=None):
     return topo
 
 
+def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
+                 aa_topology=None, **kw):
+    """Scene-level render: rest verts [V, 3] through per-view cameras
+    (w2cs/projs [B, 4, 4], transposed row-vector convention as in
+    optim.ham.project_verts).
+
+    On the deferred path the projection happens INSIDE the Pallas core
+    (render_pixels_projected): the corner gather and the backward vertex
+    reduction are then B-independent. XLA paths project first and take
+    the clip-space render_pixels route. Same returns as render_pixels.
+    """
+    if impl in ("auto", "deferred"):
+        on_cpu = jax.default_backend() == "cpu"
+        if impl == "deferred" or not on_cpu:
+            topo_d = _deferred_topology_for(
+                faces, verts.shape[0], face_order=kw.get("face_order"))
+            if topo_d is not None:
+                from .deferred import render_pixels_projected
+
+                mats = jnp.einsum("bkl,blm->bkm", w2cs, projs)
+                return render_pixels_projected(
+                    verts, mats, attr, topo_d, resolution,
+                    max_span=kw.get("max_span"),
+                    rows_budget=kw.get("rows_budget"),
+                    with_aa=aa_topology is not None,
+                    mesh=kw.get("mesh"),
+                    views_axis=kw.get("views_axis", "views"),
+                    interpret=on_cpu)
+    # XLA paths: project exactly like optim.ham.project_verts
+    ph = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
+    rot = jnp.einsum("vk,bkl->bvl", ph, w2cs)
+    clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
+    return render_pixels(clip, attr, faces, resolution, impl=impl,
+                         aa_topology=aa_topology, **kw)
+
+
 def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
                   **kw):
     """Fused render: visibility + barycentrics + interpolation (+ AA

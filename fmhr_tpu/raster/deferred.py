@@ -1000,7 +1000,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                       max_span: int | None = None,
                       global_cap: int = 64, rows_budget: int | None = None,
                       winner_cap: int = 128,
-                      shared_attr: bool = False, interpret: bool = False):
+                      shared_attr: bool = False, interpret: bool = False,
+                      projected: bool = False):
     """Cached custom_vjp'd core for one (topology, config).
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
@@ -1009,13 +1010,22 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     corner, 6:9 sy per corner, 9:9+C interpolated features (masked),
     9+C face id (float), 10+C:13+C AA edge ids, 13+C w_ok flag.
     Differentiable in clip/attr via the hand-written shading VJP.
+
+    With `projected=True` the fn is (verts [V, 3], mats [B, 4, 4]
+    row-vector view-projection matrices, attr) and the projection runs
+    INSIDE the core: the corner gather is then B-independent ([3F, 4]
+    rest rows instead of [3F, B*4]) and the per-view clip coords come
+    from one MXU matmul; the backward vertex reduction is equally
+    B-independent. clip[b] = verts_h @ mats[b] bit-matches
+    project_verts(verts, w2c, proj) with mats = w2c @ proj up to the
+    matmul association (allclose, not bit-equal).
     """
     F = int(topo.faces.shape[0])
     V = topo.num_vertices
     if max_span is None:
         max_span = default_max_span(F, H, W)
     key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
-           winner_cap, shared_attr, interpret)
+           winner_cap, shared_attr, interpret, projected)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1032,7 +1042,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     Hp, Wp = p["Hp"], p["Wp"]
     K = _CHUNK
 
-    def _fwd_impl(clip, attr):
+    def _coords_from_clip(clip):
         B = clip.shape[0]
         faces_flat = jnp.asarray(faces_np.reshape(-1))   # [3F]
         # B-independent corner gather: ONE [V, B*4]-table row-gather of 3F
@@ -1042,7 +1052,27 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         tri_flat = clip_t[faces_flat].reshape(F, 3, B, 4)
         # COMPONENT-major coord rows: x0 x1 x2 | y0 y1 y2 | z... | w...
         # (contiguous [3, P] corner slabs for the shading kernels)
-        coords_t = tri_flat.transpose(2, 3, 1, 0).reshape(B, 12, F)
+        return tri_flat.transpose(2, 3, 1, 0).reshape(B, 12, F)
+
+    def _tri_rest(verts):
+        faces_flat = jnp.asarray(faces_np.reshape(-1))   # [3F]
+        verts_h = jnp.concatenate(
+            [verts, jnp.ones_like(verts[:, :1])], -1)    # [V, 4]
+        return verts_h[faces_flat].reshape(F, 3, 4)      # narrow gather
+
+    def _coords_projected(tri_rest, mats):
+        # coords_t[b, c*3+k, f] = Σ_j rest[f, k, j] · mats[b, j, c] — the
+        # per-view projection as ONE MXU contraction straight into the
+        # component-major table layout (HIGHEST: clip coords feed the
+        # pass-A edge functions)
+        B = mats.shape[0]
+        return jnp.einsum(
+            "fkj,bjc->bckf", tri_rest, mats,
+            precision=jax.lax.Precision.HIGHEST).reshape(B, 12, F)
+
+    def _fwd_impl(coords_t, attr):
+        B = coords_t.shape[0]
+        faces_flat = jnp.asarray(faces_np.reshape(-1))   # [3F]
         if shared_attr:
             at_f = attr[faces_flat].reshape(F, 3, C)     # static, no B
             attr_t = at_f.transpose(1, 2, 0).reshape(1, 3 * C, F)
@@ -1150,16 +1180,9 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         ids = jnp.round(pix[9 + C]).astype(jnp.int32)
         return pix, ids, slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta
 
-    def core(clip, attr):
-        return _fwd_impl(clip, attr)[:2]
-
-    def core_fwd(clip, attr):
-        (pix, ids, slot, wmeta, wlist, tab_dyn, tab_ids,
-         tab_sta) = _fwd_impl(clip, attr)
-        return (pix, ids), (slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta,
-                            clip.shape[0])
-
-    def core_bwd(res, cts):
+    def _bwd_gtab(res, cts):
+        """Shared backward trunk: pixel cotangents -> face-table gradient
+        [B, rec, Fpad] (kernel) + attribute gradient."""
         g_pix, _ = cts
         slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, B = res
 
@@ -1209,15 +1232,6 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
-        # coords: [B, 12, F] component-major -> corner-major [3F, B*4],
-        # then ONE B-independent incidence gather (V*D rows, not B*V*D)
-        g_coords = gtab[:, :12, :F].reshape(B, 4, 3, F)
-        g_coords = g_coords.transpose(3, 2, 0, 1).reshape(F * 3, B * 4)
-        g_coords = jnp.concatenate(
-            [g_coords, jnp.zeros((1, B * 4), g_coords.dtype)], axis=0)
-        g_clip = g_coords[inc_j].sum(axis=1)           # [V, B*4]
-        g_clip = g_clip.reshape(V, B, 4).transpose(1, 0, 2)
-
         g_attr_t = gtab[:, 16:16 + 3 * C, :F].reshape(B, 3, C, F)
         if shared_attr:
             g_af = g_attr_t.sum(axis=0).transpose(2, 0, 1).reshape(F * 3, C)
@@ -1230,7 +1244,58 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 [g_af, jnp.zeros((1, B * C), g_af.dtype)], axis=0)
             g_attr = g_af[inc_j].sum(axis=1)           # [V, B*C]
             g_attr = g_attr.reshape(V, B, C).transpose(1, 0, 2)
-        return g_clip, g_attr
+        return gtab, g_attr, inc_j, B
+
+    if not projected:
+
+        def core(clip, attr):
+            return _fwd_impl(_coords_from_clip(clip), attr)[:2]
+
+        def core_fwd(clip, attr):
+            out = _fwd_impl(_coords_from_clip(clip), attr)
+            return out[:2], out[2:] + (clip.shape[0],)
+
+        def core_bwd(res, cts):
+            gtab, g_attr, inc_j, B = _bwd_gtab(res, cts)
+            # coords: [B, 12, F] component-major -> corner-major
+            # [3F, B*4], then ONE B-independent incidence gather
+            # (V*D rows, not B*V*D)
+            g_coords = gtab[:, :12, :F].reshape(B, 4, 3, F)
+            g_coords = g_coords.transpose(3, 2, 0, 1).reshape(F * 3, B * 4)
+            g_coords = jnp.concatenate(
+                [g_coords, jnp.zeros((1, B * 4), g_coords.dtype)], axis=0)
+            g_clip = g_coords[inc_j].sum(axis=1)       # [V, B*4]
+            g_clip = g_clip.reshape(V, B, 4).transpose(1, 0, 2)
+            return g_clip, g_attr
+
+    else:
+
+        def core(verts, mats, attr):
+            return _fwd_impl(
+                _coords_projected(_tri_rest(verts), mats), attr)[:2]
+
+        def core_fwd(verts, mats, attr):
+            tri_rest = _tri_rest(verts)
+            out = _fwd_impl(_coords_projected(tri_rest, mats), attr)
+            return out[:2], out[2:] + (mats.shape[0], tri_rest, mats)
+
+        def core_bwd(res, cts):
+            tri_rest, mats = res[-2:]
+            gtab, g_attr, inc_j, B = _bwd_gtab(res[:-2], cts)
+            g_tri = gtab[:, :12, :F].reshape(B, 4, 3, F)
+            # transpose of the projection matmul: back to rest space,
+            # summing over views and components on the MXU
+            g_rest = jnp.einsum(
+                "bckf,bjc->fkj", g_tri, mats,
+                precision=jax.lax.Precision.HIGHEST).reshape(F * 3, 4)
+            g_rest = jnp.concatenate(
+                [g_rest, jnp.zeros((1, 4), g_rest.dtype)], axis=0)
+            g_vh = g_rest[inc_j].sum(axis=1)           # [V, 4] — no B
+            g_verts = g_vh[:, :3]   # homogeneous 1-row has no cotangent
+            g_mats = jnp.einsum(
+                "bckf,fkj->bjc", g_tri, tri_rest,
+                precision=jax.lax.Precision.HIGHEST)
+            return g_verts, g_mats, g_attr
 
     core_vjp = jax.custom_vjp(core)
     core_vjp.defvjp(core_fwd, core_bwd)
@@ -1330,11 +1395,16 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
         except TypeError:  # older jax spelling
             core = shard_map(core, check_rep=False, **sm_kw)
     pix, ids = core(clip, attr)
+    return _finalize_deferred(pix, ids, topo, C, clip.dtype, with_aa)
+
+
+def _finalize_deferred(pix, ids, topo, C, dtype, with_aa):
+    from .antialias import antialias_weights
 
     mask = ids > 0
     rast = jnp.stack(
         [pix[0], pix[1], pix[2],
-         jnp.where(mask, ids.astype(clip.dtype), 0.0)], axis=-1)
+         jnp.where(mask, ids.astype(dtype), 0.0)], axis=-1)
     feat = jnp.moveaxis(pix[9:9 + C], 0, -1)
 
     aa_w = None
@@ -1348,6 +1418,46 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
             "w_ok": pix[13 + C] > 0.5,
             "eids": eids,
         }
-        aa_w = antialias_weights(rast, clip, topo.faces, topology=None,
+        aa_w = antialias_weights(rast, None, topo.faces, topology=None,
                                  context=ctx)
     return rast, feat, aa_w
+
+
+def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
+                            resolution, *, max_span: int | None = None,
+                            global_cap: int = 64,
+                            rows_budget: int | None = None,
+                            winner_cap: int = 128, with_aa: bool = True,
+                            interpret: bool = False,
+                            mesh=None, views_axis: str = "views"):
+    """render_pixels_deferred with the per-view projection INSIDE the
+    core: verts [V, 3] rest positions, mats [B, 4, 4] row-vector
+    view-projection matrices (w2c @ proj, transposed convention as in
+    optim.ham.project_verts). The corner gather and the backward vertex
+    reduction become B-independent ([3F, 4]-row tables instead of
+    [3F, B*4]). Differentiable in verts, mats, and attr.
+    """
+    H, W = resolution
+    C = attr.shape[-1]
+    core = get_deferred_core(topo, C, H, W,
+                             max_span=max_span, global_cap=global_cap,
+                             rows_budget=rows_budget, winner_cap=winner_cap,
+                             shared_attr=attr.ndim == 2,
+                             interpret=interpret, projected=True)
+    if mesh is not None and views_axis in mesh.axis_names:
+        try:
+            from jax import shard_map
+        except ImportError:  # pre-0.8 jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        vspec = P(views_axis)
+        attr_spec = P() if attr.ndim == 2 else vspec
+        sm_kw = dict(mesh=mesh, in_specs=(P(), vspec, attr_spec),
+                     out_specs=(P(None, views_axis), vspec))
+        try:
+            core = shard_map(core, check_vma=False, **sm_kw)
+        except TypeError:  # older jax spelling
+            core = shard_map(core, check_rep=False, **sm_kw)
+    pix, ids = core(verts, mats, attr)
+    return _finalize_deferred(pix, ids, topo, C, verts.dtype, with_aa)

@@ -356,3 +356,135 @@ def test_winner_lists_matches_sort(scene):
     wl1, wc1 = _winner_lists(sj, p)
     np.testing.assert_array_equal(np.asarray(wc0), np.asarray(wc1))
     np.testing.assert_array_equal(np.asarray(wl0), np.asarray(wl1))
+
+
+def test_deferred_projected_matches_clip(scene):
+    """The projected-input core (verts + view-projection matrices,
+    in-core MXU projection) matches the clip-input core in forward and
+    gradients."""
+    import math
+    from fmhr_tpu.raster.deferred import render_pixels_projected
+
+    _, faces, attr = scene
+    res = (32, 256)
+    # rebuild the sphere geometry with REAL projection matrices
+    from tests.test_deferred import sphere_scene as _ss
+    rng = np.random.default_rng(3)
+    n_lat, n_lon = 12, 16
+    verts = []
+    for i in range(n_lat + 1):
+        th = math.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * math.pi * j / n_lon
+            verts.append([math.sin(th) * math.cos(ph),
+                          math.sin(th) * math.sin(ph), math.cos(th)])
+    verts = np.asarray(verts, np.float32) * 0.6
+    faces2 = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces2 += [[a, b, c], [b, d, c]]
+    faces2 = np.asarray(faces2, np.int32)
+    mats = []
+    for v in range(2):
+        ang = 2 * math.pi * v / 2 + 0.3
+        R = np.asarray([[math.cos(ang), 0, math.sin(ang), 0],
+                        [0, 1, 0, 0],
+                        [-math.sin(ang), 0, math.cos(ang), 0],
+                        [0, 0, 0, 1]], np.float32)
+        P = np.zeros((4, 4), np.float32)
+        P[0, 0] = 0.9
+        P[1, 1] = 0.9
+        P[3, 2] = -0.1
+        P[2, 3] = 1.0
+        P[3, 3] = 2.5
+        mats.append(R @ P)
+    mats = jnp.asarray(np.stack(mats))
+    verts_j = jnp.asarray(verts)
+    attr2 = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (len(verts), 5)), jnp.float32)
+    topo = DeferredTopology.build(faces2, len(verts))
+
+    def clip_of(v):
+        vh = jnp.concatenate([v, jnp.ones_like(v[:, :1])], -1)
+        return jnp.einsum("vj,bjc->bvc", vh, mats)
+
+    r0, f0, a0 = render_pixels_deferred(
+        clip_of(verts_j), attr2, topo, res, max_span=8, interpret=True)
+    r1, f1, a1 = render_pixels_projected(
+        verts_j, mats, attr2, topo, res, max_span=8, interpret=True)
+    # the two projection matmul paths round differently at the last ulp
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-4, atol=1e-5)
+    for k in ("h", "v"):
+        for x, y in zip(a0[k], a1[k]):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
+
+    def loss_clip(v, a):
+        r, f, aw = render_pixels_deferred(
+            clip_of(v), a, topo, res, max_span=8, interpret=True)
+        from fmhr_tpu.raster import apply_antialias
+        img = apply_antialias(f[..., :3], aw)
+        return jnp.sum(img ** 2) + jnp.sum(r[..., :3] ** 2)
+
+    def loss_proj(v, a):
+        r, f, aw = render_pixels_projected(
+            v, mats, a, topo, res, max_span=8, interpret=True)
+        from fmhr_tpu.raster import apply_antialias
+        img = apply_antialias(f[..., :3], aw)
+        return jnp.sum(img ** 2) + jnp.sum(r[..., :3] ** 2)
+
+    # AA crossing ratios amplify last-ulp forward differences between
+    # the two projection paths -> looser tolerance WITH AA, tight without
+    gv0, ga0 = jax.grad(loss_clip, argnums=(0, 1))(verts_j, attr2)
+    gv1, ga1 = jax.grad(loss_proj, argnums=(0, 1))(verts_j, attr2)
+    np.testing.assert_allclose(np.asarray(gv0), np.asarray(gv1),
+                               rtol=3e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga0), np.asarray(ga1),
+                               rtol=3e-3, atol=1e-4)
+
+    def loss_noaa(render):
+        def fn(v, a):
+            r, f, _ = render(v, a)
+            return jnp.sum(f ** 2) + jnp.sum(r[..., :3] ** 2)
+        return fn
+
+    gv0, ga0 = jax.grad(loss_noaa(
+        lambda v, a: render_pixels_deferred(
+            clip_of(v), a, topo, res, max_span=8, interpret=True,
+            with_aa=False)), argnums=(0, 1))(verts_j, attr2)
+    gv1, ga1 = jax.grad(loss_noaa(
+        lambda v, a: render_pixels_projected(
+            v, mats, a, topo, res, max_span=8, interpret=True,
+            with_aa=False)), argnums=(0, 1))(verts_j, attr2)
+    # vertex grads pass through 1/d barycentric denominators of
+    # subpixel triangles, amplifying the last-ulp coordinate differences
+    # between the two projection matmuls; attr grads have no such chain
+    np.testing.assert_allclose(np.asarray(gv0), np.asarray(gv1),
+                               rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga0), np.asarray(ga1),
+                               rtol=1e-4, atol=1e-6)
+    # mats gradient: chain-rule check vs autodiff through the clip build
+    gm0 = jax.grad(lambda m: loss_clip(verts_j, attr2)
+                   if m is None else jnp.sum(m * 0.0))(mats)  # placeholder
+    del gm0
+    gm1 = jax.grad(
+        lambda m: jnp.sum(render_pixels_projected(
+            verts_j, m, attr2, topo, res, max_span=8,
+            interpret=True)[1] ** 2))(mats)
+    gm_ref = jax.grad(
+        lambda m: jnp.sum(render_pixels_deferred(
+            jnp.einsum("vj,bjc->bvc",
+                       jnp.concatenate([verts_j,
+                                        jnp.ones_like(verts_j[:, :1])], -1),
+                       m), attr2, topo, res, max_span=8,
+            interpret=True)[1] ** 2))(mats)
+    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm_ref),
+                               rtol=1e-4, atol=1e-5)
