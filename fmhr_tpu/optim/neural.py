@@ -37,7 +37,7 @@ from ..core.mesh import (
 from ..nn.pe import IcosahedronEncoding
 from ..nn.mlp import RenderMLP
 from ..nn.unet import RenderUNet
-from ..raster import rasterize, interpolate
+from ..raster import render_scene
 from .ham import project_verts, _make_batcher
 
 
@@ -77,28 +77,22 @@ def neural_forward(
         uni = jnp.zeros_like(vertices)
 
     ones = jnp.ones_like(vertices[:, :1])
-    ph = jnp.concatenate([vertices, ones], -1)
-    rot = jnp.einsum("vk,bkl->bvl", ph, w2cs)
-    clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
-    normals = vertex_normals(rot[..., :3], faces)  # view-space, [B, V, 3]
-
-    rast = rasterize(clip, faces, (H, W))
-    # attributes differ per view only via normals -> build [B, V, C]
-    attr = jnp.concatenate(
-        [
-            jnp.broadcast_to(ones, (B,) + ones.shape),
-            normals,
-            jnp.broadcast_to(albedo, (B,) + albedo.shape),
-            jnp.broadcast_to(uni, (B,) + uni.shape),
-        ],
-        axis=-1,
-    )
+    # The reference interpolates VIEW-SPACE vertex normals
+    # (`/root/reference/train_mlp.py:169-176`). The w2c rotation is
+    # linear, so it commutes with barycentric interpolation: interpolate
+    # world normals (making ALL attributes view-shared — the deferred
+    # core then streams ONE attribute table instead of B) and rotate the
+    # per-pixel result.
+    normals_w = vertex_normals(vertices, faces)    # [V, 3] world
+    attr = jnp.concatenate([ones, normals_w, albedo, uni], -1)
     if not if_geo:
-        attr = jnp.concatenate(
-            [attr, jnp.broadcast_to(vertex_feat, (B,) + vertex_feat.shape)], -1
-        )
-    feat = interpolate(attr, rast, faces)
+        attr = jnp.concatenate([attr, vertex_feat], -1)
+    rast, feat, _ = render_scene(
+        vertices, faces, w2cs, projs, attr, (H, W))
     masks = feat[..., :1]
+    nrm_view = jnp.einsum(
+        "bhwk,bkl->bhwl", feat[..., 1:4], w2cs[:, :3, :3])
+    feat = jnp.concatenate([feat[..., :1], nrm_view, feat[..., 4:]], -1)
 
     if not if_geo:
         normal_map = pe(feat[..., 1:4])
