@@ -140,6 +140,33 @@ def main():
     t = timeit(jax.jit(jax.value_and_grad(loss_fn)), params)
     print(f"full loss fwd+bwd              : {t:8.2f} ms", flush=True)
 
+    # ---- projected-input core (B-independent gather + MXU projection)
+    from fmhr_tpu.raster import render_scene
+
+    def loss_proj(params):
+        v = verts0 + params["delta"]
+        attr = mkattr(params)
+        from fmhr_tpu.raster import AATopology
+        rast, feat, aa_w = render_scene(
+            v, faces_j, w2cs, projs, attr, (H, W),
+            aa_topology=_AA_SENTINEL, rows_budget=budget)
+        nrm = safe_normalize(feat[..., :3])
+        pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
+        valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
+        rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3)
+        pred = jnp.where(valid[..., None] > 0,
+                         rad[..., None] * feat[..., 3:6], 0.0)
+        pred = apply_antialias(pred, aa_w)
+        return (50.0 * _masked_l1(pred, imgs, valid)
+                + 200.0 * laplacian_smoothing(v, edges, degrees)
+                + jnp.mean((pred_mask - masks) ** 2))
+
+    _AA_SENTINEL = object()  # any non-None: deferred path ignores it
+    t = timeit(jax.jit(loss_proj), params)
+    print(f"full loss fwd  (projected)     : {t:8.2f} ms", flush=True)
+    t = timeit(jax.jit(jax.value_and_grad(loss_proj)), params)
+    print(f"full loss fwd+bwd (projected)  : {t:8.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
