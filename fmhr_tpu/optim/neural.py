@@ -37,7 +37,7 @@ from ..core.mesh import (
 from ..nn.pe import IcosahedronEncoding
 from ..nn.mlp import RenderMLP
 from ..nn.unet import RenderUNet
-from ..raster import render_scene
+from ..raster import render_pixels, render_scene
 from .ham import project_verts, _make_batcher
 
 
@@ -68,7 +68,14 @@ def neural_forward(
     if_geo: bool = False,
     uni_mode: str = "random",
 ):
-    """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1])."""
+    """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]).
+
+    `vertices` may be [V, 3] (one mesh, B camera views — the per-scan
+    trainer) or [B, V, 3] (one mesh PER view — the category trainer,
+    where the sample batch rides the rasterizer's view axis instead of a
+    vmap; a Pallas core must not sit under vmap). albedo/vertex_feat may
+    be per-sample [B, V, ·] or shared [V, ·] in the batched case.
+    """
     B = w2cs.shape[0]
     H, W = resolution
     if uni_mode == "random":
@@ -76,19 +83,35 @@ def neural_forward(
     else:
         uni = jnp.zeros_like(vertices)
 
-    ones = jnp.ones_like(vertices[:, :1])
     # The reference interpolates VIEW-SPACE vertex normals
     # (`/root/reference/train_mlp.py:169-176`). The w2c rotation is
     # linear, so it commutes with barycentric interpolation: interpolate
-    # world normals (making ALL attributes view-shared — the deferred
-    # core then streams ONE attribute table instead of B) and rotate the
-    # per-pixel result.
-    normals_w = vertex_normals(vertices, faces)    # [V, 3] world
-    attr = jnp.concatenate([ones, normals_w, albedo, uni], -1)
-    if not if_geo:
-        attr = jnp.concatenate([attr, vertex_feat], -1)
-    rast, feat, _ = render_scene(
-        vertices, faces, w2cs, projs, attr, (H, W))
+    # world normals (making the attributes view-shared where possible —
+    # the deferred core then streams ONE attribute table instead of B)
+    # and rotate the per-pixel result.
+    if vertices.ndim == 3:
+
+        def bc(x):
+            return (jnp.broadcast_to(x, (B,) + x.shape)
+                    if x.ndim == 2 else x)
+
+        ones = jnp.ones_like(vertices[..., :1])       # [B, V, 1]
+        normals_w = jax.vmap(lambda v: vertex_normals(v, faces))(vertices)
+        attr = jnp.concatenate([ones, normals_w, bc(albedo), uni], -1)
+        if not if_geo:
+            attr = jnp.concatenate([attr, bc(vertex_feat)], -1)
+        ph = jnp.concatenate([vertices, ones], -1)
+        rot = jnp.einsum("bvk,bkl->bvl", ph, w2cs)
+        clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
+        rast, feat, _ = render_pixels(clip, attr, faces, (H, W))
+    else:
+        ones = jnp.ones_like(vertices[:, :1])
+        normals_w = vertex_normals(vertices, faces)    # [V, 3] world
+        attr = jnp.concatenate([ones, normals_w, albedo, uni], -1)
+        if not if_geo:
+            attr = jnp.concatenate([attr, vertex_feat], -1)
+        rast, feat, _ = render_scene(
+            vertices, faces, w2cs, projs, attr, (H, W))
     masks = feat[..., :1]
     nrm_view = jnp.einsum(
         "bhwk,bkl->bhwl", feat[..., 1:4], w2cs[:, :3, :3])

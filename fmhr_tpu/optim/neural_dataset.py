@@ -185,24 +185,19 @@ def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
         return params, opt.init(params)
 
     def loss_fn(p, batch, rng):
-        # per-sample meshes differ -> vmap the single-view forward
-        def one(img, ray, w2c, proj, verts, albedo, r):
-            pred, masks = neural_forward(
-                net_apply, p["net"], pe,
-                ray[None], w2c[None], proj[None], verts,
-                batch["faces"], albedo, p["vf"], resolution, r,
-                uni_mode=uni_mode,
-            )
-            valid = (masks[..., 0] > 0).astype(jnp.float32)
-            h = optax.huber_loss(pred, img[None], delta=1.0)
-            return jnp.sum(h * valid[..., None]), jnp.sum(valid) * 3
-
-        rngs = jax.random.split(rng, batch["img"].shape[0])
-        nums, dens = jax.vmap(one)(
-            batch["img"], batch["ray"], batch["w2c"], batch["proj"],
-            batch["vertices"], batch["albedo"], rngs,
+        # per-sample meshes ride the rasterizer's VIEW axis (a batched
+        # neural_forward) — NOT a vmap: the deferred Pallas core must
+        # not sit under vmap, and one batched raster beats B small ones
+        pred, masks = neural_forward(
+            net_apply, p["net"], pe,
+            batch["ray"], batch["w2c"], batch["proj"],
+            batch["vertices"], batch["faces"], batch["albedo"],
+            p["vf"], resolution, rng, uni_mode=uni_mode,
         )
-        return jnp.sum(nums) / jnp.maximum(jnp.sum(dens), 1.0)
+        valid = (masks[..., 0] > 0).astype(jnp.float32)
+        h = optax.huber_loss(pred, batch["img"], delta=1.0)
+        return (jnp.sum(h * valid[..., None])
+                / jnp.maximum(jnp.sum(valid) * 3.0, 1.0))
 
     @jax.jit
     def step(params, opt_state, batch, rng):
