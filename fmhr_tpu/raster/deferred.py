@@ -59,6 +59,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import numpy as np
 import jax
@@ -312,20 +313,36 @@ def _chunk_bboxes(sx, sy, w, p, H, W):
     return ctx0, cty0, cspan_x, cspan_y, any_valid
 
 
+# Work-list build formulation: "scatter" (counting sort — dense cumsums
+# + one unique-index scatter) or "sort" (key sort + searchsorted). Both
+# are bit-identical (pinned by tests); the env switch exists because XLA
+# TPU scatter-lowering speed is workload-dependent — A/B on hardware.
+_LISTS_MODE = os.environ.get("FMHR_DEFERRED_LISTS", "scatter")
+
+
+def _glob_lists(g_mask, p):
+    g_idx = jnp.nonzero(g_mask, size=p["g_cap"],
+                        fill_value=0)[0].astype(jnp.int32)
+    g_cnt = jnp.sum(g_mask.astype(jnp.int32))
+    g_cnt = jnp.minimum(g_cnt, p["g_cap"])
+    g_list = jnp.pad(g_idx, (0, p["g_pad"] - p["g_cap"]))
+    return g_list, g_cnt
+
+
 def _build_lists(sx, sy, w, p, *, H, W, max_span):
     """One view's (tile, chunk) work lists from [3, F] screen coords.
 
     Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
     g_list [g_pad] int32, g_cnt scalar int32).
 
-    Counting-sort formulation: a dense [nc, T] hit indicator gives each
-    pair's position directly (per-tile offset from a cumsum over tiles +
-    rank from a cumsum over chunks) and ONE scatter places the chunk
-    ids — no O(nc·max_span · log) sort. At production geometry the
-    indicator is ~140k int32 per view. Output is bit-identical to the
-    sorted formulation (pairs grouped by tile, chunk-ascending within a
-    tile, tail tiles dropped beyond pair_cap) — pinned by
-    tests/test_deferred.py::test_build_lists_matches_sort.
+    Counting-sort formulation (default): a dense [nc, T] hit indicator
+    gives each pair's position directly (per-tile offset from a cumsum
+    over tiles + rank from a cumsum over chunks) and ONE unique-index
+    scatter places the chunk ids — no O(nc·max_span · log) sort. At
+    production geometry the indicator is ~140k int32 per view. Output is
+    bit-identical to the sorted formulation (pairs grouped by tile,
+    chunk-ascending within a tile, tail tiles dropped beyond pair_cap) —
+    pinned by tests/test_deferred.py::test_build_lists_matches_sort.
     """
     T, nc = p["T"], p["nc"]
     S = max_span
@@ -336,6 +353,24 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     n_tiles = cspan_x * cspan_y
     g_mask = any_valid & (n_tiles > S)   # oversize chunks: every tile
     emit = any_valid & ~g_mask
+
+    if _LISTS_MODE == "sort":
+        slots = jnp.arange(S, dtype=jnp.int32)
+        dx = slots[None, :] % jnp.maximum(cspan_x, 1)[:, None]
+        dy = slots[None, :] // jnp.maximum(cspan_x, 1)[:, None]
+        live = emit[:, None] & (slots[None, :] < n_tiles[:, None])
+        tile = (cty0[:, None] + dy) * tiles_x + (ctx0[:, None] + dx)
+        chunk = jnp.arange(nc, dtype=jnp.int32)[:, None]
+        dead = T * nc
+        key = jax.lax.sort(
+            jnp.where(live, tile * nc + chunk, dead).reshape(-1))[:cap]
+        t_ar = jnp.arange(T, dtype=jnp.int32)
+        tile_of = key // nc
+        starts = jnp.searchsorted(tile_of, t_ar, "left").astype(jnp.int32)
+        ends = jnp.searchsorted(tile_of, t_ar, "right").astype(jnp.int32)
+        chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
+        g_list, g_cnt = _glob_lists(g_mask, p)
+        return chunk_list, starts, ends, g_list, g_cnt
 
     t_ar = jnp.arange(T, dtype=jnp.int32)
     tx = t_ar % tiles_x
@@ -353,20 +388,16 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     offs = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(count)])  # [T+1]
     pos = offs[None, :T] + rank                        # [nc, T]
-    # live pairs get unique positions; everything else lands in slot
-    # `cap` (one overflow dump cell, sliced off afterwards)
-    pos = jnp.where(hit & (pos < cap), pos, cap).reshape(-1)
+    # live pairs get unique positions; dead entries go out of bounds and
+    # are DROPPED (no write at all), so the scatter is honestly unique
+    pos = jnp.where(hit & (pos < cap), pos, cap + 1).reshape(-1)
     chunk = jnp.broadcast_to(
         jnp.arange(nc, dtype=jnp.int32)[:, None], (nc, T)).reshape(-1)
-    chunk_list = jnp.zeros(cap + 1, jnp.int32).at[pos].set(chunk)[:cap]
+    chunk_list = jnp.zeros(cap, jnp.int32).at[pos].set(
+        chunk, mode="drop", unique_indices=True)
     starts = jnp.minimum(offs[:T], cap)
     ends = jnp.minimum(offs[1:], cap)
-
-    g_idx = jnp.nonzero(g_mask, size=p["g_cap"],
-                        fill_value=0)[0].astype(jnp.int32)
-    g_cnt = jnp.sum(g_mask.astype(jnp.int32))
-    g_cnt = jnp.minimum(g_cnt, p["g_cap"])
-    g_list = jnp.pad(g_idx, (0, p["g_pad"] - p["g_cap"]))
+    g_list, g_cnt = _glob_lists(g_mask, p)
     return chunk_list, starts, ends, g_list, g_cnt
 
 
@@ -594,6 +625,15 @@ def _winner_lists(slot, p):
     nc, wcap = p["nc"], p["wcap"]
     B, T, P = slot.shape
     c = jnp.where(slot >= 0, slot // _CHUNK, nc)           # [B, T, P]
+    if _LISTS_MODE == "sort":
+        s = jnp.sort(c, axis=-1)
+        first = jnp.concatenate(
+            [jnp.ones(s.shape[:-1] + (1,), bool),
+             s[..., 1:] != s[..., :-1]], axis=-1) & (s < nc)
+        keys = jnp.where(first, s, nc)
+        wlist = jnp.sort(keys, axis=-1)[..., :wcap].astype(jnp.int32)
+        wcnt = jnp.minimum(jnp.sum(first, axis=-1), wcap).astype(jnp.int32)
+        return wlist, wcnt
     b_i = jax.lax.broadcasted_iota(jnp.int32, (B, T, P), 0)
     t_i = jax.lax.broadcasted_iota(jnp.int32, (B, T, P), 1)
     present = jnp.zeros((B, T, nc + 1), jnp.bool_).at[b_i, t_i, c].set(True)
@@ -601,12 +641,14 @@ def _winner_lists(slot, p):
     pi = present.astype(jnp.int32)
     rank = jnp.cumsum(pi, axis=-1) - pi                    # ascending
     wcnt = jnp.minimum(pi.sum(-1), wcap).astype(jnp.int32)
-    pos = jnp.where(present & (rank < wcap), rank, wcap)
+    # absent/overflow entries scatter out of bounds and are dropped
+    pos = jnp.where(present & (rank < wcap), rank, wcap + 1)
     bb = jax.lax.broadcasted_iota(jnp.int32, (B, T, nc), 0)
     tt = jax.lax.broadcasted_iota(jnp.int32, (B, T, nc), 1)
     cc = jax.lax.broadcasted_iota(jnp.int32, (B, T, nc), 2)
-    wlist = jnp.full((B, T, wcap + 1), nc, jnp.int32)
-    wlist = wlist.at[bb, tt, pos].set(cc)[..., :wcap]
+    wlist = jnp.full((B, T, wcap), nc, jnp.int32)
+    wlist = wlist.at[bb, tt, pos].set(cc, mode="drop",
+                                      unique_indices=True)
     return wlist, wcnt
 
 
