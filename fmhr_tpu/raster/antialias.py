@@ -151,8 +151,117 @@ def _aa_axis_weights(ids, zw, su, sv, w_ok, eids, u_centers, v_centers, axis):
     return alpha_p, alpha_q
 
 
+def _aa_axis_weights_compact(ids, zw, su, sv, w_ok, eids, u_vals, v_vals,
+                             axis, budget):
+    """Compact-pair variant of `_aa_axis_weights`: gather the active
+    pairs once (static `budget` slots, audit-sized) and run the crossing
+    math + its VJP on [budget] vectors instead of dense [B, H, W] grids.
+    Bit-identical alphas to the dense path for every pair that fits the
+    budget; overflow pairs lose their AA correction (size the budget via
+    `audit_aa_pairs` — active pairs are ALL face-id transitions, which at
+    subpixel face density scales with covered area, not silhouette
+    length; the win is real only for coarse meshes or sparse coverage).
+
+    u_vals/v_vals: 1-D center-coordinate tables (u along the pair axis).
+    """
+    B, H, W = ids.shape
+    if axis == 2:
+        ph, pw, qoff = H, W - 1, 1
+    else:
+        ph, pw, qoff = H - 1, W, W
+
+    ids_p, ids_q = _slice_pair(ids, axis)
+    pair_active = (ids_p != ids_q) & ((ids_p > 0) | (ids_q > 0))
+    flat = pair_active.reshape(-1)
+    n_act = jnp.sum(flat.astype(jnp.int32))
+    j = jnp.nonzero(flat, size=budget, fill_value=0)[0]    # pair index
+    live = jnp.arange(budget) < n_act
+
+    b = j // (ph * pw)
+    rem = j % (ph * pw)
+    y = rem // pw
+    x = rem % pw
+    fp = (b * H + y) * W + x                              # p pixel, full grid
+    fq = fp + qoff
+
+    def ga(a, f):
+        return a.reshape(-1)[f]
+
+    su_p = tuple(ga(a, fp) for a in su)
+    su_q = tuple(ga(a, fq) for a in su)
+    sv_p = tuple(ga(a, fp) for a in sv)
+    sv_q = tuple(ga(a, fq) for a in sv)
+    cov_p = ga(ids, fp) > 0
+    cov_q = ga(ids, fq) > 0
+    wok_p = ga(w_ok, fp)
+    wok_q = ga(w_ok, fq)
+    zw_p = ga(zw, fp)
+    zw_q = ga(zw, fq)
+    idp = ga(ids, fp)
+    idq = ga(ids, fq)
+
+    if eids is not None:
+        e_p = [ga(e, fp) for e in eids]
+        e_q = [ga(e, fq) for e in eids]
+        both = cov_p & cov_q
+        shared_p = [
+            both & ((e_p[k] == e_q[0]) | (e_p[k] == e_q[1])
+                    | (e_p[k] == e_q[2])) for k in range(3)]
+        shared_q = [
+            both & ((e_q[k] == e_p[0]) | (e_q[k] == e_p[1])
+                    | (e_q[k] == e_p[2])) for k in range(3)]
+    else:
+        shared_p = shared_q = None
+
+    if axis == 2:
+        u_p, u_q = u_vals[x], u_vals[x + 1]
+        v_c = v_vals[y]
+    else:
+        u_p, u_q = u_vals[y], u_vals[y + 1]
+        v_c = v_vals[x]
+
+    sP, vP = _side_crossing(su_p, sv_p, cov_p, wok_p, shared_p,
+                            v_c, u_p, u_q)
+    sQ, vQ = _side_crossing(su_q, sv_q, cov_q, wok_q, shared_q,
+                            v_c, u_p, u_q)
+
+    tie = 1e-6 * (jnp.abs(zw_p) + jnp.abs(zw_q)) + 1e-12
+    near = jnp.abs(zw_p - zw_q) <= tie
+    prefer_p = jnp.where(near, idp <= idq, zw_p <= zw_q)
+    use_p = vP & (~vQ | prefer_p)
+    s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
+    valid = jax.lax.stop_gradient(live & (vP | vQ))
+
+    a_q = jnp.where(valid, jnp.maximum(s - 0.5, 0.0), 0.0)
+    a_p = jnp.where(valid, jnp.maximum(0.5 - s, 0.0), 0.0)
+
+    npair = B * ph * pw
+    pos = jnp.where(live, j, npair + 1)  # padding scatters out of bounds
+    alpha_p = jnp.zeros(npair, s.dtype).at[pos].set(
+        a_p, mode="drop", unique_indices=True).reshape(B, ph, pw)
+    alpha_q = jnp.zeros(npair, s.dtype).at[pos].set(
+        a_q, mode="drop", unique_indices=True).reshape(B, ph, pw)
+    return alpha_p, alpha_q
+
+
+def audit_aa_pairs(ids) -> tuple[int, int]:
+    """Active AA pair counts (horizontal, vertical) of a concrete id map
+    [B, H, W] — for sizing `antialias_weights(budget=...)`. Counts every
+    face-id transition (the compact path's gather set), NOT just the
+    silhouette. Run at scene setup; coverage is stable through
+    optimization, so a ~2x margin makes the static budget safe."""
+    ids = np.asarray(ids)
+
+    def count(axis):
+        p, q = (ids[:, :, :-1], ids[:, :, 1:]) if axis == 2 else (
+            ids[:, :-1, :], ids[:, 1:, :])
+        return int(np.sum((p != q) & ((p > 0) | (q > 0))))
+
+    return count(2), count(1)
+
+
 def antialias_weights(rast, clip, faces, topology: AATopology | None = None,
-                      context=None):
+                      context=None, budget=None):
     """Geometry-only AA pass: blend weights for both pair axes.
 
     The weights depend only on (rast, clip, topology); computing them once
@@ -160,6 +269,10 @@ def antialias_weights(rast, clip, faces, topology: AATopology | None = None,
     Stage B) halves the dominant cost. Pass `context` from
     `api.raster_context` to reuse the triangle gather the barycentric
     phase already paid for. Differentiable in `clip`.
+
+    `budget` (int or (h, v) ints, from `audit_aa_pairs` with margin)
+    switches to the compact-pair path: crossings and their VJP run on
+    [budget] silhouette-pair vectors instead of dense pixel grids.
 
     Returns an opaque dict for `apply_antialias`.
     """
@@ -185,6 +298,15 @@ def antialias_weights(rast, clip, faces, topology: AATopology | None = None,
 
     px = (jnp.arange(W, dtype=dtype) + 0.5) * (2.0 / W) - 1.0
     py = (jnp.arange(H, dtype=dtype) + 0.5) * (2.0 / H) - 1.0
+
+    if budget is not None:
+        bh, bv = budget if isinstance(budget, (tuple, list)) else (
+            budget, budget)
+        h_p, h_q = _aa_axis_weights_compact(
+            ids, zw, sx, sy, w_ok, eids, px, py, axis=2, budget=int(bh))
+        v_p, v_q = _aa_axis_weights_compact(
+            ids, zw, sy, sx, w_ok, eids, py, px, axis=1, budget=int(bv))
+        return {"h": (h_p, h_q), "v": (v_p, v_q)}
 
     h_p, h_q = _aa_axis_weights(
         ids, zw, sx, sy, w_ok, eids,

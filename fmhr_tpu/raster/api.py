@@ -266,6 +266,7 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     max_span=kw.get("max_span"),
                     rows_budget=kw.get("rows_budget"),
                     with_aa=aa_topology is not None,
+                    aa_budget=kw.get("aa_budget"),
                     mesh=kw.get("mesh"),
                     views_axis=kw.get("views_axis", "views"),
                     interpret=on_cpu)
@@ -313,6 +314,7 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
                     max_span=kw.get("max_span"),
                     rows_budget=kw.get("rows_budget"),
                     with_aa=aa_topology is not None,
+                    aa_budget=kw.get("aa_budget"),
                     mesh=kw.get("mesh"),
                     views_axis=kw.get("views_axis", "views"),
                     interpret=on_cpu)

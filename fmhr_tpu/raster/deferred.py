@@ -1391,7 +1391,8 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            *, max_span: int | None = None,
                            global_cap: int = 64, rows_budget: int | None = None,
                            winner_cap: int = 128,
-                           with_aa: bool = True, interpret: bool = False,
+                           with_aa: bool = True, aa_budget=None,
+                           interpret: bool = False,
                            mesh=None, views_axis: str = "views"):
     """Deferred-path drop-in for api.render_pixels.
 
@@ -1437,11 +1438,27 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
         except TypeError:  # older jax spelling
             core = shard_map(core, check_rep=False, **sm_kw)
     pix, ids = core(clip, attr)
-    return _finalize_deferred(pix, ids, topo, C, clip.dtype, with_aa)
+    return _finalize_deferred(pix, ids, topo, C, clip.dtype, with_aa,
+                              aa_budget)
 
 
-def _finalize_deferred(pix, ids, topo, C, dtype, with_aa):
+def _finalize_deferred(pix, ids, topo, C, dtype, with_aa, aa_budget=None):
+    """aa_budget: None (default) = dense AA math over all pixel pairs; an
+    int (or (h, v) pair) = compact active-pair path, bit-identical when
+    the budget fits — size it from `antialias.audit_aa_pairs` on a
+    concrete id map with margin. Note "active" means EVERY face-id
+    transition (interior shared-edge pairs can still AA via a non-shared
+    edge at subpixel density), so at production mesh density the count
+    scales with covered area, not silhouette length — always audit, never
+    guess. "auto" = 4x B*(H+W) heuristic, ONLY safe for coarse meshes.
+    FMHR_AA_MODE=dense env-forces the dense path."""
     from .antialias import antialias_weights
+
+    if os.environ.get("FMHR_AA_MODE") == "dense":
+        aa_budget = None
+    if isinstance(aa_budget, str):
+        B, H, W = ids.shape
+        aa_budget = _round_up(4 * B * (H + W), 128)
 
     mask = ids > 0
     rast = jnp.stack(
@@ -1461,7 +1478,7 @@ def _finalize_deferred(pix, ids, topo, C, dtype, with_aa):
             "eids": eids,
         }
         aa_w = antialias_weights(rast, None, topo.faces, topology=None,
-                                 context=ctx)
+                                 context=ctx, budget=aa_budget)
     return rast, feat, aa_w
 
 
@@ -1470,7 +1487,7 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                             global_cap: int = 64,
                             rows_budget: int | None = None,
                             winner_cap: int = 128, with_aa: bool = True,
-                            interpret: bool = False,
+                            aa_budget=None, interpret: bool = False,
                             mesh=None, views_axis: str = "views"):
     """render_pixels_deferred with the per-view projection INSIDE the
     core: verts [V, 3] rest positions, mats [B, 4, 4] row-vector
@@ -1502,4 +1519,5 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
         except TypeError:  # older jax spelling
             core = shard_map(core, check_rep=False, **sm_kw)
     pix, ids = core(verts, mats, attr)
-    return _finalize_deferred(pix, ids, topo, C, verts.dtype, with_aa)
+    return _finalize_deferred(pix, ids, topo, C, verts.dtype, with_aa,
+                              aa_budget)

@@ -135,3 +135,49 @@ def test_horizontal_vertical_symmetry():
             np.asarray(ap), np.asarray(bp).transpose(0, 2, 1), atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(aq), np.asarray(bq).transpose(0, 2, 1), atol=1e-6)
+
+
+def test_compact_aa_matches_dense():
+    """The compact silhouette-pair AA path is bit-identical to the dense
+    path (fwd weights and clip gradients) when the budget fits."""
+    import jax
+    import jax.numpy as jnp
+    from fmhr_tpu.raster.deferred import (
+        DeferredTopology, render_pixels_deferred)
+    from fmhr_tpu.raster import apply_antialias
+    from fmhr_tpu.raster.antialias import audit_aa_pairs
+    from tests.test_deferred import sphere_scene
+
+    clip, faces, attr = sphere_scene(n_views=2, res=(32, 256))
+    res = (32, 256)
+    topo = DeferredTopology.build(faces, clip.shape[1])
+
+    def run(budget, c):
+        rast, feat, aa_w = render_pixels_deferred(
+            c, attr, topo, res, max_span=8, interpret=True,
+            aa_budget=budget)
+        return rast, feat, aa_w
+
+    r0, f0, a0 = run(None, clip)
+    ids = np.asarray(r0[..., 3]).astype(np.int64)
+    bh, bv = audit_aa_pairs(ids)
+    r1, f1, a1 = run((2 * bh, 2 * bv), clip)
+    for k in ("h", "v"):
+        for x, y in zip(a0[k], a1[k]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def loss(budget):
+        def fn(c):
+            rast, feat, aa_w = run(budget, c)
+            img = apply_antialias(feat[..., :3], aa_w)
+            return jnp.sum(img ** 2)
+        return fn
+
+    g0 = jax.grad(loss(None))(clip)
+    g1 = jax.grad(loss((2 * bh, 2 * bv)))(clip)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-6, atol=1e-7)
+
+    # tiny budget: overflow pairs gracefully lose AA, nothing crashes
+    r2, f2, a2 = run((8, 8), clip)
+    assert np.isfinite(np.asarray(a2["h"][0])).all()
