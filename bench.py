@@ -116,6 +116,20 @@ def main() -> None:
     live_pairs, rows_budget = audit_deferred_rows(
         project_verts(verts0, w2cs, projs), faces_j, (H, W))
 
+    # FMHR_AA_BUDGET=audit switches the AA pass to the compact-pair path,
+    # sized 2x from a concrete render of the start mesh (bit-identical to
+    # dense when the budget fits) — for on-hardware dense-vs-compact A/B.
+    aa_budget = None
+    if os.environ.get("FMHR_AA_BUDGET") == "audit":
+        from fmhr_tpu.raster.antialias import audit_aa_pairs
+        _r, _f, _w = render_scene(
+            verts0, faces_j, w2cs, projs,
+            jnp.ones((V, 7), jnp.float32), (H, W),
+            aa_topology=topo_aa, rows_budget=rows_budget)
+        bh, bv = audit_aa_pairs(np.asarray(_r[..., 3]).astype(np.int64))
+        aa_budget = (2 * bh, 2 * bv)
+        del _r, _f, _w
+
     # imgs/masks are step ARGUMENTS, not closure constants: baking ~44MB
     # of pixel data into the program bloats the executable the tunneled
     # backend must ship and has crashed large compiles outright.
@@ -126,6 +140,7 @@ def main() -> None:
             v, faces_j, w2cs, projs,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            aa_budget=aa_budget,
             **({"impl": args.impl} if args.impl else {}),
         )
         nrm = safe_normalize(feat[..., :3])
