@@ -194,12 +194,20 @@ def train_and_eval(conf_path: str, scan_id: int, data_path: str,
     os.makedirs(join(in_dir, "rerender"), exist_ok=True)
     faces_j = jnp.asarray(faces)
 
+    # audit-sized pass-A pair budget (same reason as in the trainer)
+    from ..optim.ham import project_verts
+    from ..raster.deferred import audit_deferred_rows
+    _, _rb = audit_deferred_rows(
+        project_verts(state.vertices, views.w2cs, views.projs),
+        faces, (h, w))
+    raster_kw = {"rows_budget": _rb}
+
     @jax.jit
     def render_one(ray, w2c, proj, rng):
         return neural_forward(
             lambda p, x: net.apply(p, x), state.net_params, pe,
             ray, w2c, proj, state.vertices, faces_j, state.albedo,
-            state.vertex_feat, (h, w), rng,
+            state.vertex_feat, (h, w), rng, raster_kw=raster_kw,
         )
 
     metrics, frames = _eval_views(
@@ -287,12 +295,19 @@ def eval_repose(conf, state, net, pe, scan_id: int, repose_id: int,
     faces_j = jnp.asarray(np.asarray(faces))
     nv = jnp.asarray(new_verts)
 
+    from ..optim.ham import project_verts
+    from ..raster.deferred import audit_deferred_rows
+    _, _rb = audit_deferred_rows(
+        project_verts(nv, views_b.w2cs, views_b.projs),
+        np.asarray(faces), (h, w))
+    raster_kw = {"rows_budget": _rb}
+
     @jax.jit
     def render_one(ray, w2c, proj, rng):
         return neural_forward(
             lambda p, x: net.apply(p, x), state.net_params, pe,
             ray, w2c, proj, nv, faces_j, state.albedo,
-            state.vertex_feat, (h, w), rng,
+            state.vertex_feat, (h, w), rng, raster_kw=raster_kw,
         )
 
     repose_dir = join(in_dir, "repose")

@@ -67,6 +67,7 @@ def neural_forward(
     rng,
     if_geo: bool = False,
     uni_mode: str = "random",
+    raster_kw: dict | None = None,
 ):
     """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]).
 
@@ -103,7 +104,8 @@ def neural_forward(
         ph = jnp.concatenate([vertices, ones], -1)
         rot = jnp.einsum("bvk,bkl->bvl", ph, w2cs)
         clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
-        rast, feat, _ = render_pixels(clip, attr, faces, (H, W))
+        rast, feat, _ = render_pixels(clip, attr, faces, (H, W),
+                                      **(raster_kw or {}))
     else:
         ones = jnp.ones_like(vertices[:, :1])
         normals_w = vertex_normals(vertices, faces)    # [V, 3] world
@@ -111,7 +113,8 @@ def neural_forward(
         if not if_geo:
             attr = jnp.concatenate([attr, vertex_feat], -1)
         rast, feat, _ = render_scene(
-            vertices, faces, w2cs, projs, attr, (H, W))
+            vertices, faces, w2cs, projs, attr, (H, W),
+            **(raster_kw or {}))
     masks = feat[..., :1]
     nrm_view = jnp.einsum(
         "bhwk,bkl->bhwl", feat[..., 1:4], w2cs[:, :3, :3])
@@ -228,6 +231,15 @@ def train_neural_renderer(
     edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
     vertices_tmp = vertices
 
+    # Size the deferred pass-A pair budget once from the start mesh over
+    # ALL views (coverage is stable through training; audit has 1.3x
+    # margin) — without this the renderer would run on the implicit
+    # default cap, which can silently drop chunks on dense scenes.
+    from ..raster.deferred import audit_deferred_rows
+    _, _rows_budget = audit_deferred_rows(
+        project_verts(vertices, w2cs, projs), faces_np, (H, W))
+    raster_kw = {"rows_budget": _rows_budget}
+
     def render(net_p, vf, verts, alb, idx, rng, if_geo=False, geo_p=None, img_z=None):
         f = apply_net(net_g) if if_geo else apply_net(net)
         return neural_forward(
@@ -236,6 +248,7 @@ def train_neural_renderer(
             verts, faces, alb,
             img_z if if_geo else vf,
             (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
+            raster_kw=raster_kw,
         )
 
     def segmented_scan(run_seg, params, state, key, batches, steps_pe,

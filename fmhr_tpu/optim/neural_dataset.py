@@ -167,7 +167,7 @@ def _make_net(net_type, pe, feat_dim, mlp_width, mlp_depth):
 
 def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
                              mlp_width=256, mlp_depth=8, uni_mode="random",
-                             net_type="mlp"):
+                             net_type="mlp", raster_kw=None):
     """Jitted step for category-level training: (params, vf, opt_state,
     batch, rng) -> updated. Loss: 100-smooth-l1 on covered pixels
     (`train_mlp.py:273-278` / `train_unet.py:245-247` use plain
@@ -193,6 +193,7 @@ def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
             batch["ray"], batch["w2c"], batch["proj"],
             batch["vertices"], batch["faces"], batch["albedo"],
             p["vf"], resolution, rng, uni_mode=uni_mode,
+            raster_kw=raster_kw,
         )
         valid = (masks[..., 0] > 0).astype(jnp.float32)
         h = optax.huber_loss(pred, batch["img"], delta=1.0)
@@ -210,7 +211,7 @@ def make_category_train_step(resolution, feat_dim=20, lr=1e-5,
 
 def category_eval(dataset, params, resolution, net_type="mlp", feat_dim=20,
                   mlp_width=256, mlp_depth=8, n_samples=10, seed=0,
-                  out_dir=None, uni_mode="random"):
+                  out_dir=None, uni_mode="random", raster_kw=None):
     """Render `n_samples` random dataset entries with the frozen category
     renderer; returns mean metrics and writes pngs when out_dir is set.
 
@@ -226,7 +227,8 @@ def category_eval(dataset, params, resolution, net_type="mlp", feat_dim=20,
     def render_one(net_p, vf, ray, w2c, proj, verts, faces, albedo, rng):
         return neural_forward(
             net_apply, net_p, pe, ray[None], w2c[None], proj[None],
-            verts, faces, albedo, vf, resolution, rng, uni_mode=uni_mode)
+            verts, faces, albedo, vf, resolution, rng, uni_mode=uni_mode,
+            raster_kw=raster_kw)
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)

@@ -236,7 +236,10 @@ def _aa_axis_weights_compact(ids, zw, su, sv, w_ok, eids, u_vals, v_vals,
     a_p = jnp.where(valid, jnp.maximum(0.5 - s, 0.0), 0.0)
 
     npair = B * ph * pw
-    pos = jnp.where(live, j, npair + 1)  # padding scatters out of bounds
+    # padding scatters out of bounds (dropped); indices stay HONESTLY
+    # unique (live j are distinct nonzero positions; padding gets
+    # distinct OOB slots), keeping the unique_indices promise valid
+    pos = jnp.where(live, j, npair + jnp.arange(budget))
     alpha_p = jnp.zeros(npair, s.dtype).at[pos].set(
         a_p, mode="drop", unique_indices=True).reshape(B, ph, pw)
     alpha_q = jnp.zeros(npair, s.dtype).at[pos].set(

@@ -238,6 +238,15 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
                                                    int(pairs_budget))
     # SMEM resident during the kernels: keep it a few KB.
     pair_cap = _round_up(min(max(cap, _CHUNK), 8192), _CHUNK)
+    if pairs_budget is not None and pair_cap < min(lossless,
+                                                   int(pairs_budget)):
+        import warnings
+        warnings.warn(
+            f"deferred rasterizer: requested rows_budget {pairs_budget} "
+            f"exceeds the {pair_cap} SMEM pair cap; views with more live "
+            "(tile, chunk) pairs drop chunks from the highest-index tiles. "
+            "Reduce faces-per-view, raise tile size, or split the view "
+            "batch.", stacklevel=3)
     g_pad = _round_up(global_cap, 8)
     wcap = min(_round_up(winner_cap, 8), _round_up(nc, 8))
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
