@@ -125,7 +125,7 @@ def main() -> None:
         _r, _f, _w = render_scene(
             verts0, faces_j, w2cs, projs,
             jnp.ones((V, 7), jnp.float32), (H, W),
-            aa_topology=topo_aa, rows_budget=rows_budget)
+            aa_topology=None, rows_budget=rows_budget)
         bh, bv = audit_aa_pairs(np.asarray(_r[..., 3]).astype(np.int64))
         aa_budget = (2 * bh, 2 * bv)
         del _r, _f, _w

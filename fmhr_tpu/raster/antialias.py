@@ -99,6 +99,47 @@ def _side_crossing(su, sv, covered, w_ok, shared_skip, v_c, u_p, u_q):
     return s_sel, v_sel
 
 
+def _pair_alphas(su_p, sv_p, su_q, sv_q, cov_p, cov_q, wok_p, wok_q,
+                 zw_p, zw_q, idp, idq, e_p, e_q, v_c, u_p, u_q, active):
+    """Shared tail of the dense and compact AA paths: crossing search +
+    side selection + blend alphas on pair-shaped elementwise arrays.
+    ONE implementation on purpose — the compact path's contract is
+    bit-identical alphas, so the math must not fork."""
+    if e_p is not None:
+        both = cov_p & cov_q
+        shared_p = [
+            both & ((e_p[k] == e_q[0]) | (e_p[k] == e_q[1]) | (e_p[k] == e_q[2]))
+            for k in range(3)
+        ]
+        shared_q = [
+            both & ((e_q[k] == e_p[0]) | (e_q[k] == e_p[1]) | (e_q[k] == e_p[2]))
+            for k in range(3)
+        ]
+    else:
+        shared_p = shared_q = None
+
+    sP, vP = _side_crossing(su_p, sv_p, cov_p, wok_p, shared_p,
+                            v_c, u_p, u_q)
+    sQ, vQ = _side_crossing(su_q, sv_q, cov_q, wok_q, shared_q,
+                            v_c, u_p, u_q)
+
+    # Depth-tie pairs (e.g. the two surfaces meeting at a silhouette rim)
+    # get a DETERMINISTIC side preference by face id instead of an
+    # fp-noise-sensitive zw comparison: a 1-ulp zw difference between two
+    # numerically different but equivalent render paths must not flip
+    # which side's crossing is used.
+    tie = 1e-6 * (jnp.abs(zw_p) + jnp.abs(zw_q)) + 1e-12
+    near = jnp.abs(zw_p - zw_q) <= tie
+    prefer_p = jnp.where(near, idp <= idq, zw_p <= zw_q)
+    use_p = vP & (~vQ | prefer_p)
+    s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
+    valid = jax.lax.stop_gradient(active & (vP | vQ))
+
+    alpha_q = jnp.where(valid, jnp.maximum(s - 0.5, 0.0), 0.0)
+    alpha_p = jnp.where(valid, jnp.maximum(0.5 - s, 0.0), 0.0)
+    return alpha_p, alpha_q
+
+
 def _aa_axis_weights(ids, zw, su, sv, w_ok, eids, u_centers, v_centers, axis):
     """One-axis AA weights. su/sv: 3-tuples of [B, H, W] corner screen
     coords along the pair direction (u) and across it (v); `axis` is the
@@ -113,42 +154,15 @@ def _aa_axis_weights(ids, zw, su, sv, w_ok, eids, u_centers, v_centers, axis):
     covered_p = ids_p > 0
     covered_q = ids_q > 0
     pair_active = (ids_p != ids_q) & (covered_p | covered_q)
-
-    if eids is not None:
-        e_p, e_q = zip(*(P(e) for e in eids))
-        both = covered_p & covered_q
-        shared_p = [
-            both & ((e_p[k] == e_q[0]) | (e_p[k] == e_q[1]) | (e_p[k] == e_q[2]))
-            for k in range(3)
-        ]
-        shared_q = [
-            both & ((e_q[k] == e_p[0]) | (e_q[k] == e_p[1]) | (e_q[k] == e_p[2]))
-            for k in range(3)
-        ]
-    else:
-        shared_p = shared_q = None
+    e_p, e_q = (zip(*(P(e) for e in eids)) if eids is not None
+                else (None, None))
+    if e_p is not None:
+        e_p, e_q = list(e_p), list(e_q)
 
     u_p, u_q = u_centers[:-1], u_centers[1:]
-    sP, vP = _side_crossing(su_p, sv_p, covered_p, wok_p, shared_p,
-                            v_centers, u_p, u_q)
-    sQ, vQ = _side_crossing(su_q, sv_q, covered_q, wok_q, shared_q,
-                            v_centers, u_p, u_q)
-
-    # Depth-tie pairs (e.g. the two surfaces meeting at a silhouette rim)
-    # get a DETERMINISTIC side preference by face id instead of an
-    # fp-noise-sensitive zw comparison: a 1-ulp zw difference between two
-    # numerically different but equivalent render paths must not flip
-    # which side's crossing is used.
-    tie = 1e-6 * (jnp.abs(zw_p) + jnp.abs(zw_q)) + 1e-12
-    near = jnp.abs(zw_p - zw_q) <= tie
-    prefer_p = jnp.where(near, ids_p <= ids_q, zw_p <= zw_q)
-    use_p = vP & (~vQ | prefer_p)
-    s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
-    valid = jax.lax.stop_gradient(pair_active & (vP | vQ))
-
-    alpha_q = jnp.where(valid, jnp.maximum(s - 0.5, 0.0), 0.0)
-    alpha_p = jnp.where(valid, jnp.maximum(0.5 - s, 0.0), 0.0)
-    return alpha_p, alpha_q
+    return _pair_alphas(su_p, sv_p, su_q, sv_q, covered_p, covered_q,
+                        wok_p, wok_q, zw_p, zw_q, ids_p, ids_q, e_p, e_q,
+                        v_centers, u_p, u_q, pair_active)
 
 
 def _aa_axis_weights_compact(ids, zw, su, sv, w_ok, eids, u_vals, v_vals,
@@ -203,15 +217,8 @@ def _aa_axis_weights_compact(ids, zw, su, sv, w_ok, eids, u_vals, v_vals,
     if eids is not None:
         e_p = [ga(e, fp) for e in eids]
         e_q = [ga(e, fq) for e in eids]
-        both = cov_p & cov_q
-        shared_p = [
-            both & ((e_p[k] == e_q[0]) | (e_p[k] == e_q[1])
-                    | (e_p[k] == e_q[2])) for k in range(3)]
-        shared_q = [
-            both & ((e_q[k] == e_p[0]) | (e_q[k] == e_p[1])
-                    | (e_q[k] == e_p[2])) for k in range(3)]
     else:
-        shared_p = shared_q = None
+        e_p = e_q = None
 
     if axis == 2:
         u_p, u_q = u_vals[x], u_vals[x + 1]
@@ -220,29 +227,18 @@ def _aa_axis_weights_compact(ids, zw, su, sv, w_ok, eids, u_vals, v_vals,
         u_p, u_q = u_vals[y], u_vals[y + 1]
         v_c = v_vals[x]
 
-    sP, vP = _side_crossing(su_p, sv_p, cov_p, wok_p, shared_p,
-                            v_c, u_p, u_q)
-    sQ, vQ = _side_crossing(su_q, sv_q, cov_q, wok_q, shared_q,
-                            v_c, u_p, u_q)
-
-    tie = 1e-6 * (jnp.abs(zw_p) + jnp.abs(zw_q)) + 1e-12
-    near = jnp.abs(zw_p - zw_q) <= tie
-    prefer_p = jnp.where(near, idp <= idq, zw_p <= zw_q)
-    use_p = vP & (~vQ | prefer_p)
-    s = jnp.where(jax.lax.stop_gradient(use_p), sP, sQ)
-    valid = jax.lax.stop_gradient(live & (vP | vQ))
-
-    a_q = jnp.where(valid, jnp.maximum(s - 0.5, 0.0), 0.0)
-    a_p = jnp.where(valid, jnp.maximum(0.5 - s, 0.0), 0.0)
+    a_p, a_q = _pair_alphas(su_p, sv_p, su_q, sv_q, cov_p, cov_q,
+                            wok_p, wok_q, zw_p, zw_q, idp, idq, e_p, e_q,
+                            v_c, u_p, u_q, live)
 
     npair = B * ph * pw
     # padding scatters out of bounds (dropped); indices stay HONESTLY
     # unique (live j are distinct nonzero positions; padding gets
     # distinct OOB slots), keeping the unique_indices promise valid
     pos = jnp.where(live, j, npair + jnp.arange(budget))
-    alpha_p = jnp.zeros(npair, s.dtype).at[pos].set(
+    alpha_p = jnp.zeros(npair, a_p.dtype).at[pos].set(
         a_p, mode="drop", unique_indices=True).reshape(B, ph, pw)
-    alpha_q = jnp.zeros(npair, s.dtype).at[pos].set(
+    alpha_q = jnp.zeros(npair, a_q.dtype).at[pos].set(
         a_q, mode="drop", unique_indices=True).reshape(B, ph, pw)
     return alpha_p, alpha_q
 

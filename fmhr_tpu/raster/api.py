@@ -323,6 +323,14 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
     kw.pop("face_order", None)
     kw.pop("mesh", None)
     kw.pop("views_axis", None)
+    aa_budget = kw.pop("aa_budget", None)
+    if isinstance(aa_budget, str):
+        if aa_budget != "auto":
+            raise ValueError(
+                f"aa_budget={aa_budget!r}: expected None, an int, an "
+                "(h, v) pair, or 'auto'")
+        aa_budget = None  # "auto" heuristic is deferred-path-only
+
 
     faces = jnp.asarray(faces, jnp.int32)
     h, w = resolution
@@ -368,7 +376,8 @@ def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,
 
     aa_w = None
     if aa_topology is not None:
-        aa_w = antialias_weights(rast, clip, faces, aa_topology, context=ctx)
+        aa_w = antialias_weights(rast, clip, faces, aa_topology, context=ctx,
+                                 budget=aa_budget)
     return rast, feat, aa_w
 
 

@@ -206,7 +206,7 @@ def default_max_span(F: int, H: int, W: int) -> int:
 
 
 def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
-          winner_cap=128):
+          winner_cap=128, quiet=False):
     """Static layout plan shared by the passes.
 
     The pass-A work lists are COMPACT (tile, chunk) pairs sorted by tile
@@ -238,15 +238,22 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
                                                    int(pairs_budget))
     # SMEM resident during the kernels: keep it a few KB.
     pair_cap = _round_up(min(max(cap, _CHUNK), 8192), _CHUNK)
-    if pairs_budget is not None and pair_cap < min(lossless,
-                                                   int(pairs_budget)):
+    if pair_cap < cap and not quiet:
         import warnings
-        warnings.warn(
-            f"deferred rasterizer: requested rows_budget {pairs_budget} "
-            f"exceeds the {pair_cap} SMEM pair cap; views with more live "
-            "(tile, chunk) pairs drop chunks from the highest-index tiles. "
-            "Reduce faces-per-view, raise tile size, or split the view "
-            "batch.", stacklevel=3)
+        if pairs_budget is not None:
+            warnings.warn(
+                f"deferred rasterizer: requested rows_budget {pairs_budget} "
+                f"exceeds the {pair_cap} SMEM pair cap; views with more "
+                "live (tile, chunk) pairs drop chunks from the highest-"
+                "index tiles. Reduce faces-per-view, raise tile size, or "
+                "split the view batch.", stacklevel=3)
+        else:
+            warnings.warn(
+                f"deferred rasterizer: no rows_budget given and the "
+                f"lossless bound ({cap} pairs) exceeds the {pair_cap} SMEM "
+                "pair cap — views whose LIVE pairs exceed the cap silently "
+                "drop chunks. Run raster.deferred.audit_deferred_rows on a "
+                "representative view and pass rows_budget.", stacklevel=3)
     g_pad = _round_up(global_cap, 8)
     wcap = min(_round_up(winner_cap, 8), _round_up(nc, 8))
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
@@ -1374,7 +1381,7 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
         faces = np.concatenate([faces, np.zeros((Fp - F, 3), np.int32)])
     if max_span is None:
         max_span = default_max_span(F, H, W)
-    p = _plan(Fp, 0, 0, H, W, max_span, 64)
+    p = _plan(Fp, 0, 0, H, W, max_span, 64, quiet=True)
     nc, T = p["nc"], p["T"]
 
     @jax.jit
@@ -1466,6 +1473,10 @@ def _finalize_deferred(pix, ids, topo, C, dtype, with_aa, aa_budget=None):
     if os.environ.get("FMHR_AA_MODE") == "dense":
         aa_budget = None
     if isinstance(aa_budget, str):
+        if aa_budget != "auto":
+            raise ValueError(
+                f"aa_budget={aa_budget!r}: expected None, an int, an "
+                "(h, v) pair, or 'auto'")
         B, H, W = ids.shape
         aa_budget = _round_up(4 * B * (H + W), 128)
 

@@ -181,3 +181,35 @@ def test_compact_aa_matches_dense():
     # tiny budget: overflow pairs gracefully lose AA, nothing crashes
     r2, f2, a2 = run((8, 8), clip)
     assert np.isfinite(np.asarray(a2["h"][0])).all()
+
+
+def test_compact_aa_on_xla_path():
+    """aa_budget plumbs through render_pixels' XLA fallback too (the
+    bench fallback combination FMHR_AA_BUDGET=audit + --impl binned):
+    compact weights match the dense naive-path weights bit-for-bit, and
+    'auto' / junk strings are handled."""
+    import pytest
+    from fmhr_tpu.raster import render_pixels, AATopology
+    from fmhr_tpu.raster.antialias import audit_aa_pairs
+    from tests.test_deferred import sphere_scene
+
+    clip, faces, attr = sphere_scene(n_views=2, res=(32, 256))
+    res = (32, 256)
+    topo_aa = AATopology.build(np.asarray(faces), clip.shape[1])
+
+    r0, f0, a0 = render_pixels(clip, attr, faces, res, impl="naive",
+                               aa_topology=topo_aa)
+    bh, bv = audit_aa_pairs(np.asarray(r0[..., 3]).astype(np.int64))
+    r1, f1, a1 = render_pixels(clip, attr, faces, res, impl="naive",
+                               aa_topology=topo_aa,
+                               aa_budget=(2 * bh, 2 * bv))
+    for k in ("h", "v"):
+        for x, y in zip(a0[k], a1[k]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # "auto" degrades to dense on the XLA path; junk strings raise
+    render_pixels(clip, attr, faces, res, impl="naive",
+                  aa_topology=topo_aa, aa_budget="auto")
+    with pytest.raises(ValueError):
+        render_pixels(clip, attr, faces, res, impl="naive",
+                      aa_topology=topo_aa, aa_budget="audit")
