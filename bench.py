@@ -213,12 +213,16 @@ def main() -> None:
             jnp.ones((V, 7), jnp.float32),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
         )
+        from fmhr_tpu.raster.deferred import TILE_H, TILE_W
         ids = np.asarray(rast[..., 3]).astype(np.int64)
-        Hp, Wp = -(-H // 8) * 8, -(-W // 128) * 128
+        Hp = -(-H // TILE_H) * TILE_H
+        Wp = -(-W // TILE_W) * TILE_W
         idp = np.zeros((n_views, Hp, Wp), np.int64)
         idp[:, :H, :W] = ids
-        tiles = idp.reshape(n_views, Hp // 8, 8, Wp // 128, 128)
-        tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(n_views, -1, 1024)
+        tiles = idp.reshape(n_views, Hp // TILE_H, TILE_H,
+                            Wp // TILE_W, TILE_W)
+        tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(
+            n_views, -1, TILE_H * TILE_W)
         chunk = np.where(tiles > 0, (tiles - 1) // 128, -1)
         pairs_b = sum(
             len(np.unique(t[t >= 0])) for v in chunk for t in v

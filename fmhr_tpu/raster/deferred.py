@@ -75,8 +75,20 @@ from .geometry import W_EPS, AREA_EPS
 # tile yields ~16% fewer (tile, chunk) pairs than the VREG-shaped 8x128
 # (measured via audit_deferred_rows at ih geometry). The kernels are
 # shape-agnostic: pixels map to (row, col) by index arithmetic only.
-TILE_H = 32
-TILE_W = 32
+#
+# FMHR_DEFERRED_TILE=HxW overrides (import-time) for on-hardware A/B:
+# pass-A [P, K] compute per pair scales with P while pair count grows
+# only mildly as tiles shrink (measured at ih geometry: 16x32 = 1.11x
+# pairs at 0.5x P -> 0.55x pass-A element work; 16x16 = 1.25x pairs at
+# 0.25x P -> 0.31x), but each grid step also carries fixed scalar/DMA
+# overhead (grid steps scale with tile count) that only a hardware
+# trace can weigh. P must stay a multiple of 8 (sublane) and should be
+# >= 256 to keep VREGs full.
+_tile_env = os.environ.get("FMHR_DEFERRED_TILE")
+if _tile_env:
+    TILE_H, TILE_W = (int(v) for v in _tile_env.lower().split("x"))
+else:
+    TILE_H, TILE_W = 32, 32
 _PIX = TILE_H * TILE_W
 _BIG = np.float32(3.0e38)
 _NEG = np.float32(-1.0e30)  # invalid-face C0 marker (headroom vs bf16x6)

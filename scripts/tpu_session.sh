@@ -45,6 +45,11 @@ run profile_ih 1800 python scripts/profile_deferred.py --preset ih
 run trace_ih 1800 python scripts/trace_step.py --preset ih
 # 6) production-density two-hands preset
 run bench_twohands 1800 python bench.py --preset twohands
+# 7) tile-shape A/B: pass-A element work 0.55x (16x32) / 0.31x (16x16)
+#    vs 32x32 at ih geometry — if pass A is compute-bound these win big;
+#    if grid-step overhead dominates they lose (see deferred.py header)
+FMHR_DEFERRED_TILE=16x32 run bench_prod_t16x32 1800 python bench.py --preset prod
+FMHR_DEFERRED_TILE=16x16 run bench_prod_t16x16 1800 python bench.py --preset prod
 
 echo "[tpu_session] done; summary:"
 for f in "$L"/bench_*.log; do

@@ -488,3 +488,51 @@ def test_deferred_projected_matches_clip(scene):
             interpret=True)[1] ** 2))(mats)
     np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tile_shape_override_matches_oracle():
+    """FMHR_DEFERRED_TILE=16x32 (import-time) still matches the XLA
+    path bit-for-bit on ids and allclose on rast/feat — the kernels'
+    pixel<->(row, col) mapping must hold for any tile shape. Runs in a
+    subprocess because the tile constants bake in at module import."""
+    import subprocess
+    import sys
+    import os
+
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from fmhr_tpu.raster import render_pixels
+from fmhr_tpu.raster.deferred import (
+    DeferredTopology, render_pixels_deferred, TILE_H, TILE_W)
+from tests.test_deferred import sphere_scene
+
+assert (TILE_H, TILE_W) == (16, 32), (TILE_H, TILE_W)
+clip, faces, attr = sphere_scene(n_views=2, res=(32, 256))
+res = (32, 256)
+topo = DeferredTopology.build(faces, clip.shape[1])
+rast_x, feat_x, _ = render_pixels(clip, attr, jnp.asarray(faces), res,
+                                  impl="naive")
+rast_d, feat_d, _ = render_pixels_deferred(clip, attr, topo, res,
+                                           max_span=8, interpret=True,
+                                           with_aa=False)
+np.testing.assert_array_equal(np.asarray(rast_x[..., 3]),
+                              np.asarray(rast_d[..., 3]))
+np.testing.assert_allclose(np.asarray(rast_x), np.asarray(rast_d),
+                           atol=1e-5, rtol=1e-5)
+np.testing.assert_allclose(np.asarray(feat_x), np.asarray(feat_d),
+                           atol=1e-5, rtol=1e-5)
+print("TILE16x32 OK")
+"""
+    env = dict(os.environ, FMHR_DEFERRED_TILE="16x32",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "TILE16x32 OK" in out.stdout
