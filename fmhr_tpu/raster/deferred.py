@@ -90,6 +90,14 @@ if _tile_env:
 else:
     TILE_H, TILE_W = 32, 32
 _PIX = TILE_H * TILE_W
+# Pass-A coefficient-chunk prefetch pipeline depth (revolving VMEM
+# slots + DMA semaphores; 16x128 f32 = 8KB per slot). Default 2 =
+# classic double buffering (one outstanding prefetch); FMHR_PASSA_DEPTH
+# raises it for on-hardware A/B — if the trace shows pass A bound by
+# per-chunk DMA latency rather than VPU compute, a deeper pipeline
+# hides it at negligible VMEM cost. Semantics identical at any depth.
+_PASSA_DEPTH = max(2, int(os.environ.get("FMHR_PASSA_DEPTH", "2")))
+
 _BIG = np.float32(3.0e38)
 _NEG = np.float32(-1.0e30)  # invalid-face C0 marker (headroom vs bf16x6)
 _INT_BIG = np.int32(1 << 30)
@@ -576,17 +584,23 @@ def _make_passa_kernel(p):
                     sems.at[slot_i],
                 )
 
-            @pl.when(n_total > 0)
-            def _():
-                dma(0, 0).start()
+            # warm the pipeline DEPTH-1 chunks ahead: with avg ~6 chunks
+            # per (view, tile) pair list, a single outstanding prefetch
+            # leaves the VPU exposed to HBM latency on every iteration if
+            # the per-chunk compute is shorter than the DMA round-trip
+            for i in range(_PASSA_DEPTH - 1):
+                @pl.when(i < n_total)
+                def _(i=i):
+                    dma(i, i).start()
 
             def loop(ci, carry):
                 zb, cb = carry
-                sl = jax.lax.rem(ci, 2)
+                sl = jax.lax.rem(ci, _PASSA_DEPTH)
 
-                @pl.when(ci + 1 < n_total)
+                @pl.when(ci + _PASSA_DEPTH - 1 < n_total)
                 def _():
-                    dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+                    dma(jax.lax.rem(ci + _PASSA_DEPTH - 1, _PASSA_DEPTH),
+                        ci + _PASSA_DEPTH - 1).start()
 
                 dma(sl, ci).wait()
                 ta = tri_buf[sl]                     # [16, K]
@@ -630,8 +644,8 @@ def _make_passa_kernel(p):
 
         pl.run_scoped(
             body,
-            tri_buf=pltpu.VMEM((2, 16, K), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((2,)),
+            tri_buf=pltpu.VMEM((_PASSA_DEPTH, 16, K), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((_PASSA_DEPTH,)),
         )
 
     return kernel

@@ -50,6 +50,8 @@ run bench_twohands 1800 python bench.py --preset twohands
 #    if grid-step overhead dominates they lose (see deferred.py header)
 FMHR_DEFERRED_TILE=16x32 run bench_prod_t16x32 1800 python bench.py --preset prod
 FMHR_DEFERRED_TILE=16x16 run bench_prod_t16x16 1800 python bench.py --preset prod
+# 8) pass-A DMA pipeline depth (wins iff pass A is DMA-latency bound)
+FMHR_PASSA_DEPTH=4 run bench_prod_depth4 1800 python bench.py --preset prod
 
 echo "[tpu_session] done; summary:"
 for f in "$L"/bench_*.log; do

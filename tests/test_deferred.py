@@ -536,3 +536,47 @@ print("TILE16x32 OK")
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-3000:]
     assert "TILE16x32 OK" in out.stdout
+
+
+def test_passa_depth_override_matches_oracle():
+    """FMHR_PASSA_DEPTH=4 (deeper DMA prefetch pipeline) is semantics-
+    identical: ids bit-match the XLA oracle. Subprocess because the
+    depth bakes in at module import."""
+    import subprocess
+    import sys
+    import os
+
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from fmhr_tpu.raster import render_pixels
+from fmhr_tpu.raster.deferred import (
+    DeferredTopology, render_pixels_deferred, _PASSA_DEPTH)
+from tests.test_deferred import sphere_scene
+
+assert _PASSA_DEPTH == 4, _PASSA_DEPTH
+clip, faces, attr = sphere_scene(n_views=2, res=(32, 256))
+res = (32, 256)
+topo = DeferredTopology.build(faces, clip.shape[1])
+rast_x, feat_x, _ = render_pixels(clip, attr, jnp.asarray(faces), res,
+                                  impl="naive")
+rast_d, feat_d, _ = render_pixels_deferred(clip, attr, topo, res,
+                                           max_span=8, interpret=True,
+                                           with_aa=False)
+np.testing.assert_array_equal(np.asarray(rast_x[..., 3]),
+                              np.asarray(rast_d[..., 3]))
+np.testing.assert_allclose(np.asarray(feat_x), np.asarray(feat_d),
+                           atol=1e-5, rtol=1e-5)
+print("DEPTH4 OK")
+"""
+    env = dict(os.environ, FMHR_PASSA_DEPTH="4", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "DEPTH4 OK" in out.stdout
