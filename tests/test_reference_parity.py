@@ -166,3 +166,138 @@ def test_laplacian_smoothing_matches_reference(ref, rng):
         jnp.asarray(verts), jnp.asarray(topo.edges),
         jnp.asarray(topo.degrees)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _exec_ref(path, extra_stubs=()):
+    stubs = {}
+    for name in (("skimage", "skimage.measure", "plyfile", "trimesh")
+                 + tuple(extra_stubs)):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "skimage":
+                mod.measure = types.ModuleType("skimage.measure")
+            stubs[name] = mod
+    sys.modules.update(stubs)
+    try:
+        ns = {"__name__": "_ref_mod", "__file__": path}
+        with open(path) as f:
+            exec(compile(f.read(), path, "exec"), ns)
+        return ns
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
+def test_icosahedron_pe_matches_reference(rng):
+    from fmhr_tpu.nn.pe import IcosahedronEncoding
+
+    ns = _exec_ref("/root/reference/models/PostionalEncoding.py")
+    ref_pe = ns["PostionalEncoding"](min_deg=0, max_deg=1, scale=0.1)
+    ours = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
+    x = rng.standard_normal((5, 7, 3)).astype(np.float32)
+    want = ref_pe(t(x)).numpy()
+    got = np.asarray(ours(jnp.asarray(x)))
+    assert got.shape[-1] == ref_pe.embedding_size
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_rays_match_reference(rng):
+    from fmhr_tpu.core.cameras import get_ray_directions, get_rays
+
+    ns = _exec_ref("/root/reference/models/get_rays.py")
+    H, W, fx, fy, cx, cy = 24, 30, 200.0, 210.0, 15.2, 11.8
+    want_dirs = ns["get_ray_directions"](H, W, fx, fy, cx, cy).numpy()
+    got_dirs = get_ray_directions(H, W, fx, fy, cx, cy)
+    np.testing.assert_allclose(got_dirs, want_dirs, atol=1e-5)
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = np.asarray(
+        ref_rot := np.linalg.qr(rng.standard_normal((3, 3)))[0],
+        np.float32)
+    c2w[:3, 3] = rng.standard_normal(3).astype(np.float32)
+    want_d, want_o = ns["get_rays"](t(want_dirs.astype(np.float32)),
+                                    t(c2w))
+    got_d, got_o = get_rays(got_dirs.astype(np.float32), c2w)
+    np.testing.assert_allclose(got_d, want_d.numpy(), atol=1e-5)
+    np.testing.assert_allclose(got_o, want_o.numpy(), atol=1e-6)
+
+
+def test_ncc_matches_reference(rng):
+    from fmhr_tpu.core.ncc import ncc
+
+    ns = _exec_ref("/root/reference/models/ncc_utils.py")
+    v, n, p = 4, 9, 25
+    ref_p = rng.standard_normal((1, n, p)).astype(np.float32)
+    src = rng.standard_normal((v, n, p)).astype(np.float32)
+    src[1] = ref_p[0] * 2 + 1          # perfectly correlated view
+    src_mask = (rng.random((v, n, p)) > 0.3).astype(np.float32)
+    src_mask[2, 3] = 0.0               # a fully-masked patch
+    want = ns["NCC"](t(ref_p), t(src), t(np.ones_like(ref_p)),
+                     t(src_mask)).numpy()
+    got = np.asarray(ncc(jnp.asarray(ref_p), jnp.asarray(src),
+                         jnp.asarray(src_mask)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sap_dpsr_matches_reference(rng):
+    from fmhr_tpu.recon.sap import (
+        DPSR, point_rasterize, grid_interp, fftfreqs,
+        spec_gaussian_filter)
+
+    ns = _exec_ref("/root/reference/models/sap.py")
+    res = (16, 16, 16)
+    np.testing.assert_allclose(
+        fftfreqs(res), ns["fftfreqs"](res).numpy(), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(spec_gaussian_filter(res, 4.0)).squeeze(),
+        ns["spec_gaussian_filter"](res, 4.0).numpy().squeeze(), atol=1e-6)
+
+    pts = rng.random((2, 40, 3)).astype(np.float32) * 0.9 + 0.05
+    vals = rng.standard_normal((2, 40, 3)).astype(np.float32)
+    for weighted in (False, True):
+        want = ns["point_rasterize"](t(pts), t(vals), res,
+                                     weighted=weighted).numpy()
+        got = np.asarray(point_rasterize(jnp.asarray(pts),
+                                         jnp.asarray(vals), res,
+                                         weighted=weighted))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    grid = rng.standard_normal((2,) + res + (3,)).astype(np.float32)
+    want_g = ns["grid_interp"](t(grid), t(pts), batched=True).numpy()
+    got_g = np.asarray(grid_interp(jnp.asarray(grid), jnp.asarray(pts)))
+    np.testing.assert_allclose(got_g, want_g, atol=2e-5)
+
+    nrm = rng.standard_normal((2, 40, 3)).astype(np.float32)
+    ref_dpsr = ns["DPSR"](res, sig=4.0)
+    want_phi = ref_dpsr(t(pts), t(nrm)).detach().numpy()
+    got_phi = np.asarray(DPSR(res, sig=4.0)(jnp.asarray(pts),
+                                            jnp.asarray(nrm)))
+    np.testing.assert_allclose(got_phi, want_phi, atol=5e-4)
+
+
+def test_sfs_shading_matches_reference(rng):
+    cv2 = pytest.importorskip("cv2")
+    from fmhr_tpu.recon.sfs import estimate_shading, convmtx2
+
+    ns = _exec_ref("/root/reference/models/sfs_utils.py")
+    h, w = 20, 24
+    # float image on BOTH sides: cv2.cvtColor quantizes uint8 input to
+    # 8-bit gray, which is a data-loading artifact, not shading math
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    nrm = rng.standard_normal((h, w, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    mask = rng.random((h, w)) > 0.4
+    want_M, want_s, want_g = ns["estimate_shading"](img, nrm, mask)
+    got_M, got_s, got_g = estimate_shading(
+        jnp.asarray(img, jnp.float64), jnp.asarray(nrm),
+        jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got_M), want_M, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_s),
+                               want_s * mask, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_g)[mask], want_g[mask],
+                               atol=1e-3)
+
+    k = rng.standard_normal((3, 3))
+    ours = convmtx2(k, (6, 7)).toarray()
+    theirs = ns["convmtx2"](k, np.array([6, 7])).toarray()
+    np.testing.assert_allclose(ours, theirs, atol=1e-12)
