@@ -244,7 +244,12 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
     tiles_y = math.ceil(H / TILE_H)
     tiles_x = math.ceil(W / TILE_W)
     T = tiles_y * tiles_x
-    r_used = 16 + 3 * C       # 12 coords, id, 3 eids, 3xC attrs
+    # Record-row layout. Every DMA'd section must start and size at a
+    # multiple of 8 sublanes (Mosaic memref-slice tiling rule; CPU
+    # interpret mode does not enforce it): coords live in rows 0:16
+    # (12 used), the static id/edge-id rows in 16:24 (4 used), and the
+    # attribute rows from 24 (3C used, padded to `rec`).
+    r_used = 24 + 3 * C
     rec = _round_up(r_used, 8)
     rec_a = 16                # 12 affine coefficient rows + pad (pass A)
     # pass-B shaded output rows: u v zw | sx0..2 sy0..2 | feat C |
@@ -747,11 +752,11 @@ def _shade_rows(recm, px, py, C):
     u = lw[0] / safe_den
     v = lw[1] / safe_den
     zw = l0 * zf[0] + l1 * zf[1] + l2 * zf[2]
-    idf = recm[12:13]
+    idf = recm[16:17]
     m = idf > 0.5
-    a0 = recm[16:16 + C]
-    a1 = recm[16 + C:16 + 2 * C]
-    a2 = recm[16 + 2 * C:16 + 3 * C]
+    a0 = recm[24:24 + C]
+    a1 = recm[24 + C:24 + 2 * C]
+    a2 = recm[24 + 2 * C:24 + 3 * C]
     feat = u * a0 + v * a1 + (1.0 - u - v) * a2          # [C, P]
     wokf = ((w[0] > 0) & (w[1] > 0) & (w[2] > 0)).astype(jnp.float32)
     return dict(x=x, y=y, z=z, w=w, w_in=w_in, iw=iw, sx=sx, sy=sy,
@@ -766,9 +771,10 @@ def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
     """Accumulate the winners' [rec, P] record slab over winning chunks
     (one-hot MXU matmul per chunk, double-buffered triple of DMAs).
 
-    The record table is split three ways: dyn_hbm [B, 12, Fpad] carries
-    the per-view coord rows, ids_hbm [1, 4, Fpad] the STATIC id/edge-id
-    rows (one copy, a jit constant), sta_hbm [B_s, rec-16, Fpad] the
+    The record table is split three ways: dyn_hbm [B, 16, Fpad] carries
+    the per-view coord rows (12 used), ids_hbm [1, 8, Fpad] the STATIC
+    id/edge-id rows (4 used; one copy, a jit constant), sta_hbm
+    [B_s, rec-24, Fpad] the
     attribute rows (B_s = 1 when attributes are shared across views —
     the common case — so no per-view broadcast is ever materialized).
     """
@@ -777,17 +783,19 @@ def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
     def dmas(slot_i, ci):
+        # all three sections are 8-sublane aligned in offset AND size
+        # (dyn 16 rows / ids 8 rows / attrs rec-24 rows)
         k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
         return (
             pltpu.make_async_copy(
                 dyn_hbm.at[b, :, pl.ds(k0, K)],
-                tri_buf.at[slot_i, 0:12], sems.at[slot_i, 0]),
+                tri_buf.at[slot_i, 0:16], sems.at[slot_i, 0]),
             pltpu.make_async_copy(
                 ids_hbm.at[0, :, pl.ds(k0, K)],
-                tri_buf.at[slot_i, 12:16], sems.at[slot_i, 1]),
+                tri_buf.at[slot_i, 16:24], sems.at[slot_i, 1]),
             pltpu.make_async_copy(
                 sta_hbm.at[bs, :, pl.ds(k0, K)],
-                tri_buf.at[slot_i, 16:rec], sems.at[slot_i, 2]),
+                tri_buf.at[slot_i, 24:rec], sems.at[slot_i, 2]),
         )
 
     @pl.when(wcnt > 0)
@@ -837,8 +845,8 @@ def _make_passb_kernel(p, C):
                pix_ref):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] VMEM int32
-        # dyn_hbm [B, 12, Fpad] / ids_hbm [1, 4, Fpad] /
-        # sta_hbm [B_s, rec-16, Fpad] ANY
+        # dyn_hbm [B, 16, Fpad] / ids_hbm [1, 8, Fpad] /
+        # sta_hbm [B_s, rec-24, Fpad] ANY
         # pix_ref [1,1,rows_out,P] VMEM f32
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -859,15 +867,19 @@ def _make_passb_kernel(p, C):
             for k in range(3):
                 pix_ref[0, 0, 3 + k:4 + k] = f["sx"][k]
                 pix_ref[0, 0, 6 + k:7 + k] = f["sy"][k]
-            pix_ref[0, 0, 9:9 + C] = jnp.where(
-                m, f["feat"], jnp.zeros((C, _PIX), jnp.float32))
+            # single-row stores only: multi-row ref stores at unaligned
+            # sublane offsets are rejected by Mosaic
+            featm = jnp.where(m, f["feat"], jnp.zeros((C, _PIX),
+                                                      jnp.float32))
+            for c in range(C):
+                pix_ref[0, 0, 9 + c:10 + c] = featm[c:c + 1]
             pix_ref[0, 0, 9 + C:10 + C] = f["idf"]
-            pix_ref[0, 0, 10 + C:13 + C] = recm[13:16]   # eids
+            for k in range(3):                           # eids
+                pix_ref[0, 0, 10 + C + k:11 + C + k] = recm[17 + k:18 + k]
             pix_ref[0, 0, 13 + C:14 + C] = f["wokf"]
             rows_used, rows_out = p["rows_used"], p["rows_out"]
-            if rows_out > rows_used:
-                pix_ref[0, 0, rows_used:rows_out] = jnp.zeros(
-                    (rows_out - rows_used, _PIX), jnp.float32)
+            for r in range(rows_used, rows_out):
+                pix_ref[0, 0, r:r + 1] = zero
 
         pl.run_scoped(
             body,
@@ -966,8 +978,7 @@ def _shade_vjp(recm, g, px, py, C):
         wbar.append(jnp.where(f["w_in"][k],
                               -iwk * iw[k] * iw[k], 0.0))
 
-    zero = jnp.zeros((1, _PIX), jnp.float32)
-    rows = xbar + ybar + zbar + wbar + [zero, zero, zero, zero]
+    rows = xbar + ybar + zbar + wbar          # record rows 0:12
     return rows, [ga0, ga1, ga2]
 
 
@@ -1009,13 +1020,19 @@ def _make_bwd_kernel(p, C):
                              dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems_t)
         px, py = _pix_ndc(p, t)
         coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
+        zero = jnp.zeros((1, _PIX), jnp.float32)
+        # single-row stores only (Mosaic sublane-alignment rule); rows
+        # 12:24 (coord pad + id/eids) carry no gradient
         for i, r in enumerate(coord_rows):
             grec_scr[i:i + 1, :] = r
+        for i in range(12, 24):
+            grec_scr[i:i + 1, :] = zero
         for k in range(3):
-            grec_scr[16 + k * C:16 + (k + 1) * C, :] = attr_rows[k]
-        if rec > 16 + 3 * C:
-            grec_scr[16 + 3 * C:rec, :] = jnp.zeros(
-                (rec - 16 - 3 * C, _PIX), jnp.float32)
+            for c in range(C):
+                grec_scr[24 + k * C + c:25 + k * C + c, :] = \
+                    attr_rows[k][c:c + 1]
+        for i in range(24 + 3 * C, rec):
+            grec_scr[i:i + 1, :] = zero
         grec = grec_scr[...]
 
         # ---- accumulate into the face-table gradient (RMW)
@@ -1170,18 +1187,21 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         # concatenated per step), and the attribute rows (ONE copy when
         # shared across views). Fpad == F when the topology was built by
         # DeferredTopology.build (it pre-pads with degenerate faces).
-        tab_dyn = coords_t                               # [B, 12, Fpad]
+        # pad every section to its 8-aligned DMA row count (plan comment
+        # in _plan): dyn 12->16, ids 4->8, attrs 3C->rec-24
+        tab_dyn = jnp.pad(coords_t, ((0, 0), (0, 4), (0, 0)))
         tab_ids = jnp.concatenate(
             [jnp.asarray(topo.ext_face_ids)[None, None, :],
              jnp.asarray(eids_np.T)[None]], axis=1)      # [1, 4, Fpad]
+        tab_ids = jnp.pad(tab_ids, ((0, 0), (0, 4), (0, 0)))
         tab_sta = attr_t
         if Fpad > F:
             tab_dyn = jnp.pad(tab_dyn, ((0, 0), (0, 0), (0, Fpad - F)))
             tab_ids = jnp.pad(tab_ids, ((0, 0), (0, 0), (0, Fpad - F)))
             tab_sta = jnp.pad(tab_sta, ((0, 0), (0, 0), (0, Fpad - F)))
-        if rec > 16 + 3 * C:
+        if rec > 24 + 3 * C:
             tab_sta = jnp.pad(
-                tab_sta, ((0, 0), (0, rec - 16 - 3 * C), (0, 0)))
+                tab_sta, ((0, 0), (0, rec - 24 - 3 * C), (0, 0)))
 
         # pass-A coefficient table + anchors
         tab_a, anchors = jax.vmap(
@@ -1316,7 +1336,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
-        g_attr_t = gtab[:, 16:16 + 3 * C, :F].reshape(B, 3, C, F)
+        g_attr_t = gtab[:, 24:24 + 3 * C, :F].reshape(B, 3, C, F)
         if shared_attr:
             g_af = g_attr_t.sum(axis=0).transpose(2, 0, 1).reshape(F * 3, C)
             g_af = jnp.concatenate(

@@ -42,7 +42,7 @@ def deferred_roofline(*, B, H, W, F, C, pairs_a, pairs_b, fwd_ms=None,
     (from `audit_deferred_rows`); pairs_b: winning pairs (<= pairs_a).
     Returns {stage: {time_bound_ms, bound, achieved_pct?}}.
     """
-    rec = ((16 + 3 * C) + 7) // 8 * 8
+    rec = ((24 + 3 * C) + 7) // 8 * 8
 
     # pass A: VPU ops + coefficient-table DMA
     a_ops = pairs_a * PASS_A_OPS_PER_PAIR * _PIX * _K
