@@ -148,20 +148,89 @@ def uniform_laplacian(vertices: jax.Array, edges, degrees) -> jax.Array:
     return nbr_sum / safe_deg[:, None] - vertices
 
 
-def laplacian_smoothing(vertices: jax.Array, edges, degrees) -> jax.Array:
-    """Uniform Laplacian smoothing loss (scalar).
+def laplacian_smoothing(vertices: jax.Array, edges, degrees,
+                        faces=None, method: str = "uniform") -> jax.Array:
+    """Laplacian smoothing loss (scalar), method in uniform|cot|cotcurv.
 
-    Parity: `models/utils.py:696-722` with method="uniform":
-    mean over vertices of ||(D^{-1}A - I) v||_2. NOTE the reference treats
-    the Laplacian matrix as a constant (built under no_grad) but `L.mm(verts)`
-    still backprops to verts — matched here because the edge/degree arrays
-    are constants.
+    Parity: `models/utils.py:696-722`. method="uniform" is the only one
+    the reference's live call sites use: mean over vertices of
+    ||(D^{-1}A - I) v||_2. NOTE the reference treats the Laplacian matrix
+    as a constant (built under no_grad) but `L.mm(verts)` still backprops
+    to verts — matched here because the edge/degree arrays are constants
+    (and the cot weights are stop_gradient'ed).
+
+    "cot"/"cotcurv" (`models/utils.py:700-716`) use the cotangent
+    Laplacian from `laplacian_cot`; they need `faces` and ignore
+    edges/degrees.
     """
-    lap = uniform_laplacian(vertices, edges, degrees)
+    if method == "uniform":
+        lap = uniform_laplacian(vertices, edges, degrees)
+    elif method in ("cot", "cotcurv"):
+        if faces is None:
+            raise ValueError(f"method={method!r} requires faces")
+        Lv, rowsum, inv_areas = laplacian_cot(vertices, faces)
+        if method == "cot":
+            # reference: norm_w[idx>0] = 1/norm_w; non-positive rows KEEP
+            # their raw (possibly negative) row sum (`:704-706`)
+            norm_w = jnp.where(rowsum > 0, 1.0 / jnp.where(rowsum > 0,
+                                                           rowsum, 1.0),
+                               rowsum)
+            lap = Lv * norm_w[:, None] - vertices
+        else:
+            lap = (Lv - rowsum[:, None] * vertices) * (
+                0.25 * inv_areas[:, None])
+    else:
+        raise ValueError(f"unknown laplacian method {method!r}")
     # sqrt(x + eps) instead of norm: torch's norm backward returns a zero
     # subgradient at 0, JAX's returns NaN — the eps keeps it finite.
     row = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-20)
     return jnp.sum(row) / vertices.shape[0]
+
+
+def laplacian_cot(vertices: jax.Array, faces) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Cotangent Laplacian applied to the vertices (segment-sum form).
+
+    Parity: `models/utils.py:618-658` (laplacian_cot): per-face cotangent
+    weights cot(angle)/4 with Heron-area clamp 1e-12, symmetrized
+    L = W + W^T, plus per-vertex inverse incident-face-area. The reference
+    materializes a sparse [V, V] matrix; topology is static here so L@v,
+    the L row sums, and the areas are three scatter-adds — no sparse
+    formats (TPU-friendly, deterministic).
+
+    Weights and areas are stop_gradient'ed to match the reference's
+    torch.no_grad() build: gradients flow only through the gathered
+    vertex values, exactly like `L.mm(verts)` with constant L.
+
+    Returns (L @ vertices [V,3], row sums of L [V], inv_areas [V]).
+    """
+    faces = jnp.asarray(faces, jnp.int32)
+    v = vertices
+    fv = v[faces]                                     # [F, 3, 3]
+    v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
+    A = jnp.linalg.norm(v1 - v2, axis=1)
+    B = jnp.linalg.norm(v0 - v2, axis=1)
+    C = jnp.linalg.norm(v0 - v1, axis=1)
+    s = 0.5 * (A + B + C)
+    area = jnp.sqrt(jnp.clip(s * (s - A) * (s - B) * (s - C), 1e-12, None))
+    A2, B2, C2 = A * A, B * B, C * C
+    cot = jnp.stack([(B2 + C2 - A2), (A2 + C2 - B2), (A2 + B2 - C2)], 1)
+    cot = jax.lax.stop_gradient(cot / area[:, None] / 4.0)
+    area = jax.lax.stop_gradient(area)
+
+    ii = faces[:, [1, 2, 0]].reshape(-1)
+    jj = faces[:, [2, 0, 1]].reshape(-1)
+    w = cot.reshape(-1)
+    V = v.shape[0]
+    # L = W + W^T: each (ii, jj, w) entry contributes w*v[jj] to row ii
+    # and w*v[ii] to row jj
+    Lv = jnp.zeros_like(v)
+    Lv = Lv.at[ii].add(w[:, None] * v[jj]).at[jj].add(w[:, None] * v[ii])
+    rowsum = jnp.zeros((V,), v.dtype).at[ii].add(w).at[jj].add(w)
+    areas = jnp.zeros((V,), v.dtype).at[faces.reshape(-1)].add(
+        jnp.repeat(area, 3))
+    inv_areas = jnp.where(areas > 0,
+                          1.0 / jnp.where(areas > 0, areas, 1.0), areas)
+    return Lv, rowsum, inv_areas
 
 
 def normal_consistency_pairs(faces: np.ndarray, num_vertices: int) -> np.ndarray:

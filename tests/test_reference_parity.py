@@ -168,6 +168,33 @@ def test_laplacian_smoothing_matches_reference(ref, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.parametrize("method", ["cot", "cotcurv"])
+def test_laplacian_cot_matches_reference(ref, rng, method):
+    """Direct execution of the reference's cotangent Laplacian branches
+    (`models/utils.py:618-658` + the `cot`/`cotcurv` method branches of
+    `laplacian_smoothing` `:696-722`), values AND vertex gradients."""
+    import jax
+
+    from fmhr_tpu.core.mesh import laplacian_smoothing
+
+    v, f = _ico_mesh()
+    verts = (v + 0.05 * rng.standard_normal((12, 3))).astype(np.float32)
+
+    tv = t(verts).requires_grad_(True)
+    want = ref["laplacian_smoothing"](tv, t(f).long(), method=method)
+    want.backward()
+    want_grad = tv.grad.numpy()
+
+    def ours(vj):
+        return laplacian_smoothing(vj, None, None, faces=jnp.asarray(f),
+                                   method=method)
+
+    got, got_grad = jax.value_and_grad(ours)(jnp.asarray(verts))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_grad), want_grad,
+                               atol=1e-5, rtol=1e-4)
+
+
 def _exec_ref(path, extra_stubs=()):
     stubs = {}
     for name in (("skimage", "skimage.measure", "plyfile", "trimesh")
