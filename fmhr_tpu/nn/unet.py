@@ -3,9 +3,9 @@
 Parity: `/root/reference/models/unet.py:256-398` as instantiated by the
 neural renderer: `UNet(284, 3, feature_scale=2, more_layers=0)` with
 partial-conv blocks, bilinear upsampling, BatchNorm and a sigmoid output
-(`neural_render.py:68`). Multi-scale extra input slots are supported by
-the reference but unused (single input); we implement the single-input
-path. BatchNorm runs in "train" mode statistics-free (use_running_average
+(`neural_render.py:68`). The reference's multi-scale extra input slots
+(unused by the release instantiation) are carried via
+`extra_in_channels`. BatchNorm runs in "train" mode statistics-free (use_running_average
 False) just like the reference's default train() usage.
 
 Partial convolution (`models/unet.py:56-130`): convolve input*mask, then
@@ -62,28 +62,59 @@ class PartialBlock(fnn.Module):
 
 
 class RenderUNet(fnn.Module):
-    """4-level UNet, feature_scale=2 -> filters (32, 64, 128, 256, 512)."""
+    """4-level UNet, feature_scale=2 -> filters (32, 64, 128, 256, 512).
+
+    `extra_in_channels` declares the reference's multi-scale input slots
+    (`models/unet.py:287-292,310-313,344-380`): entry k is the channel
+    count of an extra input at 1/2^(k+1) resolution, concatenated after
+    that level's down block (whose width shrinks by the same amount so
+    the level still totals filters[k+1] channels). The release
+    instantiation uses none (`neural_render.py:68`)."""
 
     out_channels: int = 3
     feature_scale: int = 2
+    extra_in_channels: tuple = ()   # levels 1..4, like num_input_channels[1:]
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
-        """x [B, H, W, C_in]; H, W must be multiples of 16 (4 poolings) —
-        the caller pads (the reference pads W to /8, `train_unet.py:192-196`).
-        Mask = any-channel-nonzero, as the reference derives it
-        (`models/unet.py:346-347`)."""
+        """x [B, H, W, C_in], or a list of arrays (main input + one per
+        declared extra slot, each at 1/2^(k+1) resolution); H, W must be
+        multiples of 16 (4 poolings) — the caller pads (the reference pads
+        W to /8, `train_unet.py:192-196`). Mask = any-channel-nonzero, as
+        the reference derives it (`models/unet.py:346-347`)."""
+        inputs = list(x) if isinstance(x, (list, tuple)) else [x]
+        extra = list(self.extra_in_channels) + [0] * (
+            4 - len(self.extra_in_channels))
+        n_declared = 1 + sum(1 for c in extra if c)
+        if len(inputs) != n_declared:
+            raise ValueError(
+                f"got {len(inputs)} input scales but declared {n_declared}")
+        x = inputs[0]
+
+        def any_mask(a):
+            return (jnp.sum(jnp.abs(a), axis=-1, keepdims=True)
+                    > 1e-9).astype(a.dtype)
+
         filters = [f // self.feature_scale for f in (64, 128, 256, 512, 1024)]
-        mask = (jnp.sum(jnp.abs(x), axis=-1, keepdims=True) > 1e-9).astype(x.dtype)
+        mask = any_mask(x)
 
         in64, m = PartialBlock(filters[0])(x, mask, train)
 
         skips = [in64]
         h, hm = in64, m
+        idx_in = 1
         for lvl in range(4):
             h = fnn.avg_pool(h, (2, 2), strides=(2, 2))
             hm = fnn.max_pool(hm, (2, 2), strides=(2, 2))
-            h, hm = PartialBlock(filters[lvl + 1])(h, hm, train)
+            if extra[lvl]:
+                # reference quirk kept: the down block's partial conv uses
+                # the slot input's OWN mask, not the propagated coverage
+                # (`models/unet.py:359-369`)
+                hm = any_mask(inputs[idx_in])
+            h, hm = PartialBlock(filters[lvl + 1] - extra[lvl])(h, hm, train)
+            if extra[lvl]:
+                h = jnp.concatenate([h, inputs[idx_in]], axis=-1)
+                idx_in += 1
             if lvl < 3:
                 skips.append(h)
 
