@@ -30,8 +30,16 @@ class ChipPeaks:
 # (fmhr_tpu/raster/deferred.py); update when the kernel body changes.
 PASS_A_OPS_PER_PAIR = 19      # 3 affine evals + l2-from-d + cov + track
 PASS_B_VPU_OPS_PER_PAIR = 4   # onehot compare/cast + accumulate
-_PIX = 1024
-_K = 128
+
+
+def _record_rows(C: int) -> int:
+    """Record-row count for C attribute channels, straight from the
+    kernel plan (fmhr_tpu.raster.deferred._plan) so the layout can never
+    drift from the kernels again (ADVICE r2 #3)."""
+    from ..raster.deferred import _plan
+
+    # only F/V/C shape the record layout; the rest are placeholders
+    return _plan(1, 1, C, 8, 8, 1, 1, quiet=True)["rec"]
 
 
 def deferred_roofline(*, B, H, W, F, C, pairs_a, pairs_b, fwd_ms=None,
@@ -42,7 +50,11 @@ def deferred_roofline(*, B, H, W, F, C, pairs_a, pairs_b, fwd_ms=None,
     (from `audit_deferred_rows`); pairs_b: winning pairs (<= pairs_a).
     Returns {stage: {time_bound_ms, bound, achieved_pct?}}.
     """
-    rec = ((24 + 3 * C) + 7) // 8 * 8
+    from ..raster.deferred import TILE_H, TILE_W, _CHUNK
+
+    _PIX = TILE_H * TILE_W
+    _K = _CHUNK
+    rec = _record_rows(C)
 
     # pass A: VPU ops + coefficient-table DMA
     a_ops = pairs_a * PASS_A_OPS_PER_PAIR * _PIX * _K

@@ -105,3 +105,44 @@ def test_lpips_zero_for_identical(tmp_path):
     img = np.random.default_rng(1).random((1, 48, 48, 3)).astype(np.float32)
     d = np.asarray(LPIPSAlex(npz)(img, img))
     assert abs(float(d[0])) < 1e-6
+
+
+@pytest.mark.parametrize("res", [(31, 47), (96, 144), (334, 512)])
+def test_lpips_all_taps_match_at_resolution(tmp_path, res):
+    """Per-tap activation parity at multiple resolutions, incl. the
+    production 334x512 (VERDICT r2 item 9): all 5 conv taps of the
+    backbone must match the torch mirror, not just the final scalar
+    (odd sizes exercise the stride-4 conv1 + maxpool padding paths)."""
+    ap, lp, alex, lin = _random_checkpoints(tmp_path, seed=2)
+    npz = str(tmp_path / "w.npz")
+    convert_lpips_weights(ap, lp, npz)
+    model = LPIPSAlex(npz)
+
+    H, W = res
+    rng = np.random.default_rng(3)
+    img = rng.random((1, H, W, 3)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    ours_taps = model._features(jnp.asarray(img))
+
+    t = torch.from_numpy(img).permute(0, 3, 1, 2)
+    h = (t - _SHIFT) / _SCALE
+    want_taps = []
+    with torch.no_grad():
+        for li, (idx, _, _, _, stride, pad) in enumerate(_CONVS):
+            h = F.conv2d(h, alex[f"features.{idx}.weight"],
+                         alex[f"features.{idx}.bias"],
+                         stride=stride, padding=pad)
+            h = F.relu(h)
+            want_taps.append(h)
+            if li in (0, 1):
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+
+    assert len(ours_taps) == 5
+    for i, (got, want) in enumerate(zip(ours_taps, want_taps)):
+        got = np.asarray(got)
+        want = want.permute(0, 2, 3, 1).numpy()
+        assert got.shape == want.shape, (i, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"tap {i} at {res}")
