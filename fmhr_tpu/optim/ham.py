@@ -290,10 +290,10 @@ def run_ham(
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
         normals = vertex_normals(verts, faces)
-        rast, feat, aa_w = render_scene(
+        rast, feat, aa_w, counters = render_scene(
             verts, faces, w2c, proj,
             jnp.concatenate([normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
-            res, aa_topology=topo_aa, **raster_kw,
+            res, aa_topology=topo_aa, with_counters=True, **raster_kw,
         )
         pred_normals = safe_normalize(feat[..., :3])
         rast_albedo = feat[..., 3:6]
@@ -312,7 +312,9 @@ def run_ham(
         el = edge_lengths_sq(verts, faces)
         edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
         delta_l = cfg.delta_weight * jnp.mean(jnp.sum(delta_p ** 2, -1))
-        return sfs + lap + alb + mask_l + edge_l + delta_l
+        # capacity-overflow counters ride along with the loss so a
+        # drifting mesh can't silently degrade a long run (VERDICT r2 #7)
+        return sfs + lap + alb + mask_l + edge_l + delta_l, counters.sum(0)
 
     steps_b_total_epochs = cfg.epoch_sfs
     batches_b, steps_pe = _make_batcher(N, cfg.batch, steps_b_total_epochs, cfg.seed + 1)
@@ -330,14 +332,16 @@ def run_ham(
             albedo_w = jnp.where(
                 i >= half_step, cfg.albedo_weight / 10000.0, cfg.albedo_weight
             )
-            loss, g = jax.value_and_grad(
-                lambda pp: stage_b_losses(pp["delta"], pp["albedo"], idx, albedo_w)
+            (loss, counters), g = jax.value_and_grad(
+                lambda pp: stage_b_losses(pp["delta"], pp["albedo"], idx, albedo_w),
+                has_aux=True,
             )(p)
             upd, s = opt_b.update(g, s)
-            return (optax.apply_updates(p, upd), s), loss
+            return (optax.apply_updates(p, upd), s), (loss, counters)
 
-        (p, s), losses = jax.lax.scan(step, (params, state), (batch_seg, step_seg))
-        return p, s, losses
+        (p, s), (losses, counters) = jax.lax.scan(
+            step, (params, state), (batch_seg, step_seg))
+        return p, s, losses, counters
 
     params_b = {"delta": delta0, "albedo": albedo}
     state_b = opt_b.init(params_b)
@@ -354,14 +358,16 @@ def run_ham(
             )
             start_step = last
     losses_chunks = []
+    counters_chunks = []
     steps_all = jnp.arange(total_steps)
     k = start_step
     while k < total_steps:
         end = min(total_steps, k + seg_len)
-        params_b, state_b, losses_seg = run_stage_b_segment(
+        params_b, state_b, losses_seg, counters_seg = run_stage_b_segment(
             params_b, state_b, batches_b[k:end], steps_all[k:end]
         )
         losses_chunks.append(losses_seg)
+        counters_chunks.append(counters_seg)
         k = end
         if checkpoint_dir is not None and k < total_steps:
             from ..utils.checkpoint import save_checkpoint
@@ -370,6 +376,20 @@ def run_ham(
     delta, albedo = params_b["delta"], params_b["albedo"]
     losses_b = (jnp.concatenate(losses_chunks)
                 if losses_chunks else jnp.zeros((0,)))
+    overflow_b = (jnp.concatenate(counters_chunks)
+                  if counters_chunks else jnp.zeros((0, 2), jnp.int32))
+    total_overflow = np.asarray(overflow_b.sum(0)) if overflow_b.size else \
+        np.zeros(2, np.int64)
+    if total_overflow.any():
+        import warnings
+
+        warnings.warn(
+            "HAM stage B rendered with capacity overflow: "
+            f"{int(total_overflow[0])} (tile,chunk) pairs dropped past the "
+            f"SMEM pair cap and {int(total_overflow[1])} winner-cap "
+            "overflows across all steps — raise rows_budget/winner_cap or "
+            "the tile size (FMHR_DEFERRED_TILE); affected pixels rendered "
+            "incomplete.", stacklevel=2)
 
     return {
         "vertices": vertices + delta,
@@ -379,5 +399,6 @@ def run_ham(
         "valid_masks": valid_masks,
         "losses_albedo": losses_a,
         "losses_sfs": losses_b,
+        "overflow_sfs": overflow_b,
         "topology": topo,
     }

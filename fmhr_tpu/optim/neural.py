@@ -68,8 +68,12 @@ def neural_forward(
     if_geo: bool = False,
     uni_mode: str = "random",
     raster_kw: dict | None = None,
+    with_counters: bool = False,
 ):
-    """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]).
+    """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]); with
+    `with_counters=True` appends the deferred renderer's capacity
+    counters [B, 2] (pairs dropped, winner-cap overflow — see
+    raster.deferred; zeros on the XLA paths).
 
     `vertices` may be [V, 3] (one mesh, B camera views — the per-scan
     trainer) or [B, V, 3] (one mesh PER view — the category trainer,
@@ -106,15 +110,18 @@ def neural_forward(
         clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
         rast, feat, _ = render_pixels(clip, attr, faces, (H, W),
                                       **(raster_kw or {}))
+        counters = jnp.zeros((B, 2), jnp.int32)  # category path: unaudited
     else:
         ones = jnp.ones_like(vertices[:, :1])
         normals_w = vertex_normals(vertices, faces)    # [V, 3] world
         attr = jnp.concatenate([ones, normals_w, albedo, uni], -1)
         if not if_geo:
             attr = jnp.concatenate([attr, vertex_feat], -1)
-        rast, feat, _ = render_scene(
+        out = render_scene(
             vertices, faces, w2cs, projs, attr, (H, W),
-            **(raster_kw or {}))
+            with_counters=with_counters, **(raster_kw or {}))
+        rast, feat = out[0], out[1]
+        counters = out[3] if with_counters else jnp.zeros((B, 2), jnp.int32)
     masks = feat[..., :1]
     nrm_view = jnp.einsum(
         "bhwk,bkl->bhwl", feat[..., 1:4], w2cs[:, :3, :3])
@@ -133,6 +140,8 @@ def neural_forward(
 
     out = apply_fn(params, input_f)
     pred = jnp.where(masks > 0, out, 0.0)
+    if with_counters:
+        return pred, masks, counters
     return pred, masks
 
 
@@ -240,7 +249,8 @@ def train_neural_renderer(
         project_verts(vertices, w2cs, projs), faces_np, (H, W))
     raster_kw = {"rows_budget": _rows_budget}
 
-    def render(net_p, vf, verts, alb, idx, rng, if_geo=False, geo_p=None, img_z=None):
+    def render(net_p, vf, verts, alb, idx, rng, if_geo=False, geo_p=None,
+               img_z=None, with_counters=False):
         f = apply_net(net_g) if if_geo else apply_net(net)
         return neural_forward(
             f, geo_p if if_geo else net_p, pe,
@@ -248,16 +258,19 @@ def train_neural_renderer(
             verts, faces, alb,
             img_z if if_geo else vf,
             (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
-            raster_kw=raster_kw,
+            raster_kw=raster_kw, with_counters=with_counters,
         )
 
     def segmented_scan(run_seg, params, state, key, batches, steps_pe,
-                       subdir):
+                       subdir, empty=None):
         """Drive a jitted scan segment-by-segment with orbax snapshots.
 
         run_seg: (params, state, key, batch_seg) -> (params, state, key,
-        losses). Snapshots after every segment (including the last, so a
-        later phase's crash never re-runs this one).
+        losses) where losses may be any pytree of [steps, ...] arrays
+        (phase 2 carries (losses, overflow counters)). `empty` is the
+        zero-length pytree returned when everything was already
+        checkpointed. Snapshots after every segment (including the last,
+        so a later phase's crash never re-runs this one).
         """
         total = int(batches.shape[0])
         cdir = (os.path.join(checkpoint_dir, subdir)
@@ -285,8 +298,11 @@ def train_neural_renderer(
                 from ..utils.checkpoint import save_checkpoint
 
                 save_checkpoint(cdir, (params, state, key), k)
-        losses = (jnp.concatenate(chunks) if chunks
-                  else jnp.zeros((0,), jnp.float32))
+        if chunks:
+            losses = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+        else:
+            losses = empty if empty is not None else jnp.zeros(
+                (0,), jnp.float32)
         return params, state, key, losses
 
     # ---------------- phase 1: net + vertex_feat ---------------------------
@@ -337,7 +353,9 @@ def train_neural_renderer(
     def run_phase2_seg(params, state, key, batch_seg):
         def loss_fn(p, idx, rng):
             r1, r2 = jax.random.split(rng)
-            render_z, masks = render(p["net"], p["vf"], p["verts"], p["albedo"], idx, r1)
+            render_z, masks, counters = render(
+                p["net"], p["vf"], p["verts"], p["albedo"], idx, r1,
+                with_counters=True)
             pred, masks = render(
                 None, None, p["verts"], p["albedo"], idx, r2,
                 if_geo=True, geo_p=p["net_g"],
@@ -357,24 +375,42 @@ def train_neural_renderer(
             delta_loss = 50000.0 * jnp.mean(
                 jnp.sum((vertices_tmp - p["verts"]) ** 2, -1)
             )
-            return img_loss + imgz_loss + lap + edge_loss + delta_loss
+            # counters ride along so a drifting mesh that outgrows the
+            # setup-time budget audit is visible in the trace (VERDICT
+            # r2 #7)
+            return (img_loss + imgz_loss + lap + edge_loss + delta_loss,
+                    counters.sum(0))
 
         def step(carry, xs):
             p, s, k = carry
             k, sub = jax.random.split(k)
-            loss, g = jax.value_and_grad(loss_fn)(p, xs, sub)
+            (loss, counters), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, xs, sub)
             upd, s = opt2.update(g, s)
-            return (optax.apply_updates(p, upd), s, k), loss
+            return (optax.apply_updates(p, upd), s, k), (loss, counters)
 
-        (p, s, k), losses = jax.lax.scan(step, (params, state, key), batch_seg)
-        return p, s, k, losses
+        (p, s, k), (losses, counters) = jax.lax.scan(
+            step, (params, state, key), batch_seg)
+        return p, s, k, (losses, counters)
 
     k4, key = jax.random.split(key)
     params2 = {"net": net_params, "net_g": net_g_params, "vf": vertex_feat,
                "verts": vertices, "albedo": albedo}
-    p, _, _, losses2 = segmented_scan(
+    p, _, _, (losses2, counters2) = segmented_scan(
         run_phase2_seg, params2, opt2.init(params2), k4, batches2,
-        steps_pe2, "phase2")
+        steps_pe2, "phase2",
+        empty=(jnp.zeros((0,), jnp.float32), jnp.zeros((0, 2), jnp.int32)))
+    total_overflow = np.asarray(counters2).sum(0) if counters2.size else \
+        np.zeros(2, np.int64)
+    if total_overflow.any():
+        import warnings
+
+        warnings.warn(
+            "neural-render phase 2 rendered with capacity overflow: "
+            f"{int(total_overflow[0])} (tile,chunk) pairs dropped and "
+            f"{int(total_overflow[1])} winner-cap overflows across all "
+            "steps — the optimized mesh drifted past the setup-time "
+            "budget audit; raise rows_budget/winner_cap.", stacklevel=2)
 
     state = NeuralRenderState(
         net_params=p["net"], net_g_params=p["net_g"],

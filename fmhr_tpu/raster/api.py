@@ -269,13 +269,20 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     aa_budget=kw.get("aa_budget"),
                     mesh=kw.get("mesh"),
                     views_axis=kw.get("views_axis", "views"),
+                    with_counters=kw.get("with_counters", False),
                     interpret=on_cpu)
     # XLA paths: project exactly like optim.ham.project_verts
     ph = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
     rot = jnp.einsum("vk,bkl->bvl", ph, w2cs)
     clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
-    return render_pixels(clip, attr, faces, resolution, impl=impl,
-                         aa_topology=aa_topology, **kw)
+    with_counters = kw.pop("with_counters", False)
+    out = render_pixels(clip, attr, faces, resolution, impl=impl,
+                        aa_topology=aa_topology, **kw)
+    if with_counters:
+        # capacity counters are a deferred-path concept; the XLA oracle
+        # paths are capacity-free, so they report zeros
+        out = out + (jnp.zeros((clip.shape[0], 2), jnp.int32),)
+    return out
 
 
 def render_pixels(clip, attr, faces, resolution, impl="auto", aa_topology=None,

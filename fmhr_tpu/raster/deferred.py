@@ -88,7 +88,14 @@ _tile_env = os.environ.get("FMHR_DEFERRED_TILE")
 if _tile_env:
     TILE_H, TILE_W = (int(v) for v in _tile_env.lower().split("x"))
 else:
-    TILE_H, TILE_W = 32, 32
+    # Default measured on v5e at the production preset (sort lists,
+    # BASELINE.md round-3 A/B table): 8x32 = 96.7 ms/step vs 32x32 =
+    # 128.3, 16x32 = 108.7, 8x64 = 103.2, 16x16 = 209 (scatter-era).
+    # Small P wins because pass-A work is pairs*P while pairs grow only
+    # mildly as tiles shrink. Full-resolution runs (1280x1024) override
+    # to a larger tile via the env knob to keep the SMEM pair budget
+    # under the cap.
+    TILE_H, TILE_W = 8, 32
 _PIX = TILE_H * TILE_W
 # Pass-A coefficient-chunk prefetch pipeline depth (revolving VMEM
 # slots + DMA semaphores; 16x128 f32 = 8KB per slot). Default 2 =
@@ -358,7 +365,13 @@ def _chunk_bboxes(sx, sy, w, p, H, W):
 # + one unique-index scatter) or "sort" (key sort + searchsorted). Both
 # are bit-identical (pinned by tests); the env switch exists because XLA
 # TPU scatter-lowering speed is workload-dependent — A/B on hardware.
-_LISTS_MODE = os.environ.get("FMHR_DEFERRED_LISTS", "scatter")
+# Work-list build variant. "sort" (one lax.sort of tile*nc+chunk keys)
+# measured 173.5 -> 128.3 ms/step vs the dense counting-sort "scatter"
+# build at the production preset on v5e (round-3 A/B): XLA scatters and
+# the dense [nc, T] indicator are the slow path on TPU, and get worse as
+# tiles shrink (T grows). Both remain bit-identical
+# (tests/test_deferred.py::test_build_lists_matches_sort).
+_LISTS_MODE = os.environ.get("FMHR_DEFERRED_LISTS", "sort")
 
 
 def _glob_lists(g_mask, p):
@@ -374,7 +387,9 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     """One view's (tile, chunk) work lists from [3, F] screen coords.
 
     Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
-    g_list [g_pad] int32, g_cnt scalar int32).
+    g_list [g_pad] int32, g_cnt scalar int32, n_drop scalar int32 — the
+    live (tile, chunk) pairs dropped because they exceeded pair_cap;
+    nonzero means the highest-index tiles render incomplete geometry).
 
     Counting-sort formulation (default): a dense [nc, T] hit indicator
     gives each pair's position directly (per-tile offset from a cumsum
@@ -411,7 +426,9 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
         ends = jnp.searchsorted(tile_of, t_ar, "right").astype(jnp.int32)
         chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
         g_list, g_cnt = _glob_lists(g_mask, p)
-        return chunk_list, starts, ends, g_list, g_cnt
+        total = jnp.sum(jnp.where(emit, n_tiles, 0))
+        n_drop = jnp.maximum(total - cap, 0).astype(jnp.int32)
+        return chunk_list, starts, ends, g_list, g_cnt, n_drop
 
     t_ar = jnp.arange(T, dtype=jnp.int32)
     tx = t_ar % tiles_x
@@ -439,7 +456,8 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     starts = jnp.minimum(offs[:T], cap)
     ends = jnp.minimum(offs[1:], cap)
     g_list, g_cnt = _glob_lists(g_mask, p)
-    return chunk_list, starts, ends, g_list, g_cnt
+    n_drop = jnp.maximum(offs[T] - cap, 0).astype(jnp.int32)
+    return chunk_list, starts, ends, g_list, g_cnt, n_drop
 
 
 def _coeff_table(coords_t, p, H, W):
@@ -549,13 +567,18 @@ def _make_passa_kernel(p):
     tiles_x = p["tiles_x"]
     K = _CHUNK
 
-    def kernel(meta_ref, list_ref, glob_ref, anch_ref, taba_hbm, slot_ref):
+    def kernel(meta_ref, list_ref, glob_ref, anch_ref, taba_hbm, slot_ref,
+               wlist_ref, wstat_ref):
         # meta_ref [1,1,1,4] SMEM: start, end, g_count
         # list_ref [1, 1, pair_cap] SMEM int32; glob_ref [1, 1, g_pad] SMEM
         # anch_ref [1, 2, nc] SMEM f32: pixel-space chunk anchors
         # taba_hbm [B, 16, Fpad] f32 (ANY/HBM): chunk c = strided
         # [16, K] DMA at column c*K
         # slot_ref [1,1,P,1] VMEM int32 out: winning face index or -1
+        # wlist_ref [1,1,1,wcap] VMEM int32 out: DISTINCT winning chunks
+        # (pair-list order: main ascending, then globals; nc = empty)
+        # wstat_ref [1,1,1,8] VMEM int32 out: lane 0 = winner count
+        # (clamped to wcap), lane 1 = winner-cap overflow count
         b = pl.program_id(0)
         t = pl.program_id(1)
         ty = t // tiles_x
@@ -646,6 +669,31 @@ def _make_passa_kernel(p):
             slot = jnp.min(cand, axis=1, keepdims=True)      # [P, 1]
             covered = zmin < _BIG
             slot_ref[0, 0] = jnp.where(covered, slot, -1)
+
+            # ---- winner compaction, in-kernel: one short replay of the
+            # pair list against the final slot map replaces the XLA
+            # sort/scatter compaction stage (was ~20-30% of the whole
+            # fwd+bwd step at production geometry). DISTINCT because the
+            # pair list itself is duplicate-free per tile.
+            wcap = p["wcap"]
+            cw = jnp.where(covered, jax.lax.div(slot, K), -1)  # [P, 1]
+            wiota = jax.lax.broadcasted_iota(jnp.int32, (1, wcap), 1)
+
+            def wloop(ci, carry):
+                wl, cnt = carry
+                c = chunk_of(ci)
+                win = jnp.sum((cw == c).astype(jnp.int32)) > 0
+                wl = jnp.where(win & (cnt < wcap) & (wiota == cnt), c, wl)
+                return wl, cnt + win.astype(jnp.int32)
+
+            wl, cnt = jax.lax.fori_loop(
+                0, n_total, wloop,
+                (jnp.full((1, wcap), nc, jnp.int32), jnp.int32(0)))
+            wlist_ref[0, 0] = wl
+            st_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+            wstat_ref[0, 0] = jnp.where(
+                st_iota == 0, jnp.minimum(cnt, wcap),
+                jnp.where(st_iota == 1, jnp.maximum(cnt - wcap, 0), 0))
 
         pl.run_scoped(
             body,
@@ -1106,7 +1154,9 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     """Cached custom_vjp'd core for one (topology, config).
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
-    shared_attr) -> (pix [rows_used, B, H, W] f32, ids [B, H, W] int32).
+    shared_attr) -> (pix [rows_used, B, H, W] f32, ids [B, H, W] int32,
+    counters [B, 2] int32: per-view [pairs dropped past the SMEM cap,
+    winner-cap overflow] — both 0 on a healthy run).
     pix rows: 0 u, 1 v, 2 zw (masked barycentrics/depth), 3:6 sx per
     corner, 6:9 sy per corner, 9:9+C interpolated features (masked),
     9+C face id (float), 10+C:13+C AA edge ids, 13+C w_ok flag.
@@ -1212,7 +1262,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         iw = 1.0 / jnp.where(jnp.abs(w_rows) > W_EPS, w_rows, W_EPS)
         sx_rows = coords_t[:, 0:3] * iw
         sy_rows = coords_t[:, 3:6] * iw
-        chunk_list, starts, ends, g_list, g_cnt = jax.vmap(
+        chunk_list, starts, ends, g_list, g_cnt, n_drop = jax.vmap(
             lambda sx, sy, w: _build_lists(
                 sx, sy, w, p, H=H, W=W, max_span=max_span)
         )(sx_rows, sy_rows, w_rows)
@@ -1223,8 +1273,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
              jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
         meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
 
-        # ---- pass A: winning face index per pixel
-        slot = pl.pallas_call(
+        # ---- pass A: winning face index per pixel + in-kernel winner
+        # compaction (distinct winning chunks per tile come straight out
+        # of the kernel; no XLA sort/scatter compaction stage)
+        slot, wlist4, wstat = pl.pallas_call(
             _make_passa_kernel(p),
             grid=(B, T),
             in_specs=[
@@ -1239,15 +1291,25 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, _PIX, 1),
-                                   lambda b, t: (b, t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
+            out_specs=[
+                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, p["wcap"]),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, 8), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, T, 1, p["wcap"]), jnp.int32),
+                jax.ShapeDtypeStruct((B, T, 1, 8), jnp.int32),
+            ],
             interpret=interpret,
         )(meta, chunk_list[:, None], g_list[:, None], anchors, tab_a)
 
-        # ---- compaction: distinct winning chunks per tile
-        wlist, wcnt = _winner_lists(slot[..., 0], p)
+        wlist = wlist4[:, :, 0]                          # [B, T, wcap]
+        wcnt = wstat[:, :, 0, 0]                         # [B, T]
         wmeta = jnp.stack(
             [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
              jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]  # [B, T, 1, 4]
@@ -1282,12 +1344,18 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         pix = pix.transpose(3, 0, 1, 4, 2, 5).reshape(rows_used, B, Hp, Wp)
         pix = pix[:, :, :H, :W]
         ids = jnp.round(pix[9 + C]).astype(jnp.int32)
-        return pix, ids, slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta
+        # per-view overflow counters (VERDICT r2 #7): col 0 = live pairs
+        # dropped past the SMEM pair cap, col 1 = winner-cap overflow
+        # (distinct winning chunks beyond wcap; those pixels render as
+        # background). Both are 0 on a healthy run.
+        counters = jnp.stack(
+            [n_drop, wstat[:, :, 0, 1].sum(axis=1)], axis=-1)  # [B, 2]
+        return pix, ids, counters, slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta
 
     def _bwd_gtab(res, cts):
         """Shared backward trunk: pixel cotangents -> face-table gradient
         [B, rec, Fpad] (kernel) + attribute gradient."""
-        g_pix, _ = cts
+        g_pix = cts[0]
         slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, B = res
 
         # [rows_used, B, H, W] -> [B, T, rows_out, P]
@@ -1353,11 +1421,11 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     if not projected:
 
         def core(clip, attr):
-            return _fwd_impl(_coords_from_clip(clip), attr)[:2]
+            return _fwd_impl(_coords_from_clip(clip), attr)[:3]
 
         def core_fwd(clip, attr):
             out = _fwd_impl(_coords_from_clip(clip), attr)
-            return out[:2], out[2:] + (clip.shape[0],)
+            return out[:3], out[3:] + (clip.shape[0],)
 
         def core_bwd(res, cts):
             gtab, g_attr, inc_j, B = _bwd_gtab(res, cts)
@@ -1376,12 +1444,12 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
         def core(verts, mats, attr):
             return _fwd_impl(
-                _coords_projected(_tri_rest(verts), mats), attr)[:2]
+                _coords_projected(_tri_rest(verts), mats), attr)[:3]
 
         def core_fwd(verts, mats, attr):
             tri_rest = _tri_rest(verts)
             out = _fwd_impl(_coords_projected(tri_rest, mats), attr)
-            return out[:2], out[2:] + (mats.shape[0], tri_rest, mats)
+            return out[:3], out[3:] + (mats.shape[0], tri_rest, mats)
 
         def core_bwd(res, cts):
             tri_rest, mats = res[-2:]
@@ -1455,11 +1523,15 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            winner_cap: int = 128,
                            with_aa: bool = True, aa_budget=None,
                            interpret: bool = False,
-                           mesh=None, views_axis: str = "views"):
+                           mesh=None, views_axis: str = "views",
+                           with_counters: bool = False):
     """Deferred-path drop-in for api.render_pixels.
 
     clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
-    (rast [B, H, W, 4], feat [B, H, W, C], aa_weights|None).
+    (rast [B, H, W, 4], feat [B, H, W, C], aa_weights|None); with
+    `with_counters=True` appends counters [B, 2] int32 (per-view pairs
+    dropped past the SMEM cap, winner-cap overflow — 0 when healthy), so
+    trainers can surface capacity degradation in their loss traces.
     Barycentrics and feature interpolation happen INSIDE the pass-B
     kernel; only the antialias pass (which needs cross-pixel neighbors)
     stays in XLA, fed by the per-pixel screen coords/edge ids the kernel
@@ -1494,17 +1566,18 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
         vspec = P(views_axis)
         attr_spec = P() if attr.ndim == 2 else vspec
         sm_kw = dict(mesh=mesh, in_specs=(vspec, attr_spec),
-                     out_specs=(P(None, views_axis), vspec))
+                     out_specs=(P(None, views_axis), vspec, vspec))
         try:
             core = shard_map(core, check_vma=False, **sm_kw)
         except TypeError:  # older jax spelling
             core = shard_map(core, check_rep=False, **sm_kw)
-    pix, ids = core(clip, attr)
+    pix, ids, counters = core(clip, attr)
     return _finalize_deferred(pix, ids, topo, C, clip.dtype, with_aa,
-                              aa_budget)
+                              aa_budget, counters, with_counters)
 
 
-def _finalize_deferred(pix, ids, topo, C, dtype, with_aa, aa_budget=None):
+def _finalize_deferred(pix, ids, topo, C, dtype, with_aa, aa_budget=None,
+                       counters=None, with_counters=False):
     """aa_budget: None (default) = dense AA math over all pixel pairs; an
     int (or (h, v) pair) = compact active-pair path, bit-identical when
     the budget fits — size it from `antialias.audit_aa_pairs` on a
@@ -1545,6 +1618,8 @@ def _finalize_deferred(pix, ids, topo, C, dtype, with_aa, aa_budget=None):
         }
         aa_w = antialias_weights(rast, None, topo.faces, topology=None,
                                  context=ctx, budget=aa_budget)
+    if with_counters:
+        return rast, feat, aa_w, counters
     return rast, feat, aa_w
 
 
@@ -1554,7 +1629,8 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                             rows_budget: int | None = None,
                             winner_cap: int = 128, with_aa: bool = True,
                             aa_budget=None, interpret: bool = False,
-                            mesh=None, views_axis: str = "views"):
+                            mesh=None, views_axis: str = "views",
+                            with_counters: bool = False):
     """render_pixels_deferred with the per-view projection INSIDE the
     core: verts [V, 3] rest positions, mats [B, 4, 4] row-vector
     view-projection matrices (w2c @ proj, transposed convention as in
@@ -1579,11 +1655,11 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
         vspec = P(views_axis)
         attr_spec = P() if attr.ndim == 2 else vspec
         sm_kw = dict(mesh=mesh, in_specs=(P(), vspec, attr_spec),
-                     out_specs=(P(None, views_axis), vspec))
+                     out_specs=(P(None, views_axis), vspec, vspec))
         try:
             core = shard_map(core, check_vma=False, **sm_kw)
         except TypeError:  # older jax spelling
             core = shard_map(core, check_rep=False, **sm_kw)
-    pix, ids = core(verts, mats, attr)
+    pix, ids, counters = core(verts, mats, attr)
     return _finalize_deferred(pix, ids, topo, C, verts.dtype, with_aa,
-                              aa_budget)
+                              aa_budget, counters, with_counters)

@@ -133,7 +133,7 @@ def main():
         iw = 1.0 / jnp.where(jnp.abs(w_rows) > D.W_EPS, w_rows, D.W_EPS)
         sx_rows = coords_t[:, 0:3] * iw
         sy_rows = coords_t[:, 3:6] * iw
-        chunk_list, starts, ends, g_list, g_cnt = jax.vmap(
+        chunk_list, starts, ends, g_list, g_cnt, _ = jax.vmap(
             lambda sx, sy, w: D._build_lists(
                 sx, sy, w, p, H=H, W=W, max_span=max_span)
         )(sx_rows, sy_rows, w_rows)
@@ -164,24 +164,31 @@ def main():
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, D._PIX, 1),
-                                   lambda b, t: (b, t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T, D._PIX, 1), jnp.int32),
+            out_specs=[
+                pl.BlockSpec((1, 1, D._PIX, 1), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, p["wcap"]),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, 8), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, D._PIX, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, T, 1, p["wcap"]), jnp.int32),
+                jax.ShapeDtypeStruct((B, T, 1, 8), jnp.int32),
+            ],
         )(meta, chunk_list[:, None], g_list[:, None], anchors, tab_a)
 
     passa_j = jax.jit(passa_fn)
-    slot = jax.block_until_ready(
+    slot, wlist4, wstat = jax.block_until_ready(
         passa_j(meta, chunk_list, g_list, anchors, tab_a))
-    print(f"pass A (pallas)        : "
+    print(f"pass A (pallas, +winners): "
           f"{timeit(passa_j, meta, chunk_list, g_list, anchors, tab_a):8.2f} ms",
           flush=True)
 
-    # ---- stage 6: winner compaction ----------------------------------------
-    winners_j = jax.jit(lambda s: D._winner_lists(s[..., 0], p))
-    wlist, wcnt = jax.block_until_ready(winners_j(slot))
-    print(f"winner compaction      : {timeit(winners_j, slot):8.2f} ms",
-          flush=True)
+    wlist = wlist4[:, :, 0]
+    wcnt = wstat[:, :, 0, 0]
 
     def wmeta_fn(wcnt):
         return jnp.stack(
