@@ -39,6 +39,12 @@ PRESETS = {
     # the 1568-face refined base) (`/root/reference/conf/ih_sfs.conf`,
     # `mesh_sfs_optim.py:82`, `train_mlp.py:151-154`).
     "prod": ((334, 512), 16, 3, False, 1, 10),
+    # demo = the reference's flagship demo workload: 1280x1024 renders,
+    # two-hand subdiv-3 mesh (~197k fused faces, mano_optim.py:320-322),
+    # batch 8 views per step (`/root/reference/conf/demo_sfs.conf`:
+    # 16 cams at batch 8). Audited live (tile,chunk) pairs ~4.9k/view at
+    # the 8x32 tile — under the 8192 SMEM pair cap with no sharding.
+    "demo": ((1024, 1280), 8, 3, True, 1, 5),
     # twohands = the mano_optim two-hand fusion at subdiv 3 (50k faces)
     "twohands": ((334, 512), 16, 3, True, 0, 10),
     "full": ((512, 512), 4, 2, False, 0, 10),
@@ -213,6 +219,11 @@ def main() -> None:
         "vs_baseline": round(mrays / NOMINAL_BASELINE_MRAYS, 4),
         "extra": {
             "preset": args.preset,
+            # measurement mode (ADVICE r2): `iters` steps chained in one
+            # jitted lax.scan = device time, matching how optim/ham.py
+            # runs; rounds <= 2 used a Python dispatch loop whose numbers
+            # include ~110 ms/step of tunnel dispatch latency.
+            "timing": "scan-chained",
             "res": [H, W],
             "views": n_views,
             "faces": int(faces.shape[0]),
