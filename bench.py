@@ -141,7 +141,8 @@ def main() -> None:
     # backend must ship and has crashed large compiles outright.
     def loss_fn(params, imgs, masks):
         v = verts0 + params["delta"]
-        normals = vertex_normals(v, faces_j)
+        normals = vertex_normals(v, faces_j,
+                                 incidence=topo.vert_slot_incidence)
         rast, feat, aa_w = render_scene(
             v, faces_j, w2cs, projs,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
@@ -157,7 +158,8 @@ def main() -> None:
         pred = apply_antialias(pred, aa_w)
         return (
             50.0 * _masked_l1(pred, imgs, valid)
-            + 200.0 * laplacian_smoothing(v, edges, degrees)
+            + 200.0 * laplacian_smoothing(
+                v, edges, degrees, nbr_incidence=topo.nbr_incidence)
             + jnp.mean((pred_mask - masks) ** 2)
         )
 

@@ -71,6 +71,8 @@ def make_sharded_ham_step(
     sh_coeffs,
     valid_masks,
     cfg,
+    vert_slot_incidence=None,
+    nbr_incidence=None,
 ):
     """Build a jitted, view-sharded HAM Stage-B training step.
 
@@ -104,7 +106,8 @@ def make_sharded_ham_step(
 
     def loss_fn(params, batch):
         verts = vertices + params["delta"]
-        normals = vertex_normals(verts, faces)
+        normals = vertex_normals(verts, faces,
+                                 incidence=vert_slot_incidence)
         rast, feat, aa_w = render_scene(
             verts, faces, batch["w2cs"], batch["projs"],
             jnp.concatenate(
@@ -127,7 +130,8 @@ def make_sharded_ham_step(
         tmp_img = apply_antialias(tmp_img, aa_w)
 
         sfs = cfg.sfs_weight * _masked_l1(tmp_img, batch["imgs"], valid)
-        lap = cfg.lap_weight * laplacian_smoothing(verts, edges, degrees)
+        lap = cfg.lap_weight * laplacian_smoothing(
+            verts, edges, degrees, nbr_incidence=nbr_incidence)
         mask_l = cfg.mask_weight * jnp.mean((pred_mask - batch["valid_masks"]) ** 2)
         el = edge_lengths_sq(verts, faces)
         edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))

@@ -211,6 +211,8 @@ def run_ham(
     topo_aa = AATopology.build(faces_np, V)
     edges = jnp.asarray(topo.edges)
     degrees = jnp.asarray(topo.degrees)
+    slot_inc = topo.vert_slot_incidence
+    nbr_inc = topo.nbr_incidence
 
     raster_kw = (
         {"capacity": int(cfg.raster_capacity)}
@@ -247,7 +249,7 @@ def run_ham(
     # ---------------- Stage A: albedo + SH ---------------------------------
     def render_stage_a(albedo_p, sh_p, idx):
         w2c, proj = w2cs[idx], projs[idx]
-        normals = vertex_normals(vertices, faces)
+        normals = vertex_normals(vertices, faces, incidence=slot_inc)
         rast, feat, aa_w = render_scene(
             vertices, faces, w2c, proj,
             jnp.concatenate([normals, albedo_p], -1),
@@ -289,7 +291,7 @@ def run_ham(
     def stage_b_losses(delta_p, albedo_p, idx, albedo_w):
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
-        normals = vertex_normals(verts, faces)
+        normals = vertex_normals(verts, faces, incidence=slot_inc)
         rast, feat, aa_w, counters = render_scene(
             verts, faces, w2c, proj,
             jnp.concatenate([normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
@@ -306,8 +308,10 @@ def run_ham(
         tmp_img = apply_antialias(tmp_img, aa_w)
 
         sfs = cfg.sfs_weight * _masked_l1(tmp_img, imgs[idx], valid)
-        lap = cfg.lap_weight * laplacian_smoothing(verts, edges, degrees)
-        alb = albedo_w * laplacian_smoothing(albedo_p, edges, degrees)
+        lap = cfg.lap_weight * laplacian_smoothing(
+            verts, edges, degrees, nbr_incidence=nbr_inc)
+        alb = albedo_w * laplacian_smoothing(
+            albedo_p, edges, degrees, nbr_incidence=nbr_inc)
         mask_l = cfg.mask_weight * jnp.mean((pred_mask - valid_masks[idx]) ** 2)
         el = edge_lengths_sq(verts, faces)
         edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))

@@ -69,6 +69,7 @@ def neural_forward(
     uni_mode: str = "random",
     raster_kw: dict | None = None,
     with_counters: bool = False,
+    incidence=None,
 ):
     """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]); with
     `with_counters=True` appends the deferred renderer's capacity
@@ -101,7 +102,9 @@ def neural_forward(
                     if x.ndim == 2 else x)
 
         ones = jnp.ones_like(vertices[..., :1])       # [B, V, 1]
-        normals_w = jax.vmap(lambda v: vertex_normals(v, faces))(vertices)
+        normals_w = jax.vmap(
+            lambda v: vertex_normals(v, faces, incidence=incidence)
+        )(vertices)
         attr = jnp.concatenate([ones, normals_w, bc(albedo), uni], -1)
         if not if_geo:
             attr = jnp.concatenate([attr, bc(vertex_feat)], -1)
@@ -113,7 +116,8 @@ def neural_forward(
         counters = jnp.zeros((B, 2), jnp.int32)  # category path: unaudited
     else:
         ones = jnp.ones_like(vertices[:, :1])
-        normals_w = vertex_normals(vertices, faces)    # [V, 3] world
+        normals_w = vertex_normals(vertices, faces,
+                                   incidence=incidence)  # [V, 3] world
         attr = jnp.concatenate([ones, normals_w, albedo, uni], -1)
         if not if_geo:
             attr = jnp.concatenate([attr, vertex_feat], -1)
@@ -259,6 +263,7 @@ def train_neural_renderer(
             img_z if if_geo else vf,
             (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
             raster_kw=raster_kw, with_counters=with_counters,
+            incidence=topo.vert_slot_incidence,
         )
 
     def segmented_scan(run_seg, params, state, key, batches, steps_pe,
@@ -369,7 +374,9 @@ def train_neural_renderer(
 
             img_loss = ml1(pred, imgs[idx])
             imgz_loss = ml1(render_z, imgs[idx])
-            lap = 100.0 * laplacian_smoothing(p["verts"], edges, degrees)
+            lap = 100.0 * laplacian_smoothing(
+                p["verts"], edges, degrees,
+                nbr_incidence=topo.nbr_incidence)
             el = edge_lengths_sq(p["verts"], faces)
             edge_loss = 150000.0 * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
             delta_loss = 50000.0 * jnp.mean(

@@ -422,8 +422,15 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
             jnp.where(live, tile * nc + chunk, dead).reshape(-1))[:cap]
         t_ar = jnp.arange(T, dtype=jnp.int32)
         tile_of = key // nc
-        starts = jnp.searchsorted(tile_of, t_ar, "left").astype(jnp.int32)
-        ends = jnp.searchsorted(tile_of, t_ar, "right").astype(jnp.int32)
+        # rank-by-count instead of jnp.searchsorted: the [T, cap]
+        # compare+reduce fuses into two VPU reduction loops, while
+        # searchsorted lowers to a sequential lax.while binary search
+        # (measured 2x 1.3 ms/step + 2x 1.3 ms of body gathers at the
+        # production preset on v5e). Identical on sorted tile_of.
+        starts = jnp.sum(tile_of[None, :] < t_ar[:, None], axis=1,
+                         dtype=jnp.int32)
+        ends = jnp.sum(tile_of[None, :] <= t_ar[:, None], axis=1,
+                       dtype=jnp.int32)
         chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
         g_list, g_cnt = _glob_lists(g_mask, p)
         total = jnp.sum(jnp.where(emit, n_tiles, 0))

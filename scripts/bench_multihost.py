@@ -76,7 +76,9 @@ batch_full = {"imgs": imgs, "masks": masks, "valid_masks": masks,
 mesh = global_render_mesh(n_row_shards=1)
 init_fn, step, shardings = make_sharded_ham_step(
     mesh, verts, faces, topo.edges, topo.degrees, topo_aa,
-    jnp.asarray(sh), jnp.asarray(masks), cfg)
+    jnp.asarray(sh), jnp.asarray(masks), cfg,
+    vert_slot_incidence=topo.vert_slot_incidence,
+    nbr_incidence=topo.nbr_incidence)
 
 sl = local_view_slice(n_views)
 local = {k: v[sl] for k, v in batch_full.items()}

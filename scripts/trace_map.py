@@ -35,7 +35,7 @@ def build_step(preset):
         MeshTopology, vertex_normals, safe_normalize, laplacian_smoothing)
     from fmhr_tpu.core.sh import sh_radiance
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
-    from fmhr_tpu.raster import apply_antialias
+    from fmhr_tpu.raster import apply_antialias, render_scene
     from fmhr_tpu.raster.deferred import (
         DeferredTopology, render_pixels_deferred, audit_deferred_rows)
 
@@ -62,13 +62,16 @@ def build_step(preset):
     _, budget = audit_deferred_rows(clip0, faces_j, (H, W))
 
     def loss_fn(params):
+        # the PROJECTED-input scene path — exactly what optim/ham.py and
+        # bench.py run (projection inside the core; B-independent corner
+        # gather and vertex reduction)
         v = verts0 + params["delta"]
-        clip = project_verts(v, w2cs, projs)
-        normals = vertex_normals(v, faces_j)
+        normals = vertex_normals(v, faces_j,
+                                 incidence=topo.vert_slot_incidence)
         attr = jnp.concatenate(
             [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1)
-        rast, feat, aa_w = render_pixels_deferred(
-            clip, attr, topo_d, (H, W), rows_budget=budget)
+        rast, feat, aa_w = render_scene(
+            v, faces_j, w2cs, projs, attr, (H, W), rows_budget=budget)
         nrm = safe_normalize(feat[..., :3])
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
         valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
@@ -77,7 +80,8 @@ def build_step(preset):
                          rad[..., None] * feat[..., 3:6], 0.0)
         pred = apply_antialias(pred, aa_w)
         return (50.0 * _masked_l1(pred, imgs, valid)
-                + 200.0 * laplacian_smoothing(v, edges, degrees)
+                + 200.0 * laplacian_smoothing(
+                    v, edges, degrees, nbr_incidence=topo.nbr_incidence)
                 + jnp.mean((pred_mask - masks) ** 2))
 
     return jax.jit(jax.value_and_grad(loss_fn)), params

@@ -260,3 +260,54 @@ def test_boundary_preserved():
     # midpoint of boundary edge (0,1) must be (0.5, 0, 0) exactly
     mids = v2[3:]
     assert any(np.allclose(m, [0.5, 0, 0]) for m in mids)
+
+
+def test_vertex_normals_incidence_matches_scatter(rng):
+    # gather-only incidence path (custom_vjp) == scatter path, values AND
+    # gradients, on an irregular subdivided mesh
+    from fmhr_tpu.core.subdivision import loop_subdivide
+
+    verts, faces = _tetra()
+    for _ in range(3):
+        verts, faces = loop_subdivide(verts, faces)
+    verts = verts + rng.normal(0, 0.01, verts.shape).astype(np.float32)
+    topo = MeshTopology.build(faces, verts.shape[0])
+    v = jnp.asarray(verts)
+
+    n_ref = vertex_normals(v, faces)
+    n_inc = vertex_normals(v, faces, incidence=topo.vert_slot_incidence)
+    np.testing.assert_allclose(n_inc, n_ref, atol=1e-5)
+
+    cot = jnp.asarray(rng.normal(0, 1, n_ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda x: jnp.sum(vertex_normals(x, faces) * cot))(v)
+    g_inc = jax.grad(lambda x: jnp.sum(
+        vertex_normals(x, faces, incidence=topo.vert_slot_incidence) * cot
+    ))(v)
+    np.testing.assert_allclose(g_inc, g_ref, atol=1e-4)
+
+    # batched path
+    vb = jnp.stack([v, v * 1.1])
+    nb = vertex_normals(vb, faces, incidence=topo.vert_slot_incidence)
+    np.testing.assert_allclose(nb[0], n_ref, atol=1e-5)
+
+
+def test_uniform_laplacian_incidence_matches_scatter(rng):
+    from fmhr_tpu.core.subdivision import loop_subdivide
+
+    verts, faces = _tetra()
+    for _ in range(2):
+        verts, faces = loop_subdivide(verts, faces)
+    topo = MeshTopology.build(faces, verts.shape[0])
+    v = jnp.asarray(verts + rng.normal(0, 0.01, verts.shape).astype(np.float32))
+
+    l_ref = uniform_laplacian(v, topo.edges, topo.degrees)
+    l_inc = uniform_laplacian(v, topo.edges, topo.degrees,
+                              nbr_incidence=topo.nbr_incidence)
+    np.testing.assert_allclose(l_inc, l_ref, atol=1e-5)
+
+    g_ref = jax.grad(lambda x: laplacian_smoothing(
+        x, topo.edges, topo.degrees))(v)
+    g_inc = jax.grad(lambda x: laplacian_smoothing(
+        x, topo.edges, topo.degrees,
+        nbr_incidence=topo.nbr_incidence))(v)
+    np.testing.assert_allclose(g_inc, g_ref, atol=1e-4)
