@@ -136,10 +136,52 @@ def main() -> None:
         aa_budget = (2 * bh, 2 * bv)
         del _r, _f, _w
 
+    # The TILED training loss — exactly what optim/ham.py stage B runs on
+    # TPU (tiled_loss="auto"): the step never leaves the kernels'
+    # [B, T, C, P] layout (no untile/retile transposes; loss values and
+    # grads match the image-layout formulation, tests/test_deferred.py).
+    # `--impl` (XLA-backend A/B) falls back to the image-layout loss.
+    use_tiled = not args.impl
+    if use_tiled:
+        from fmhr_tpu.raster.antialias import apply_antialias_tiled
+        from fmhr_tpu.raster.deferred import tile_images
+
+        imgs = tile_images(imgs, (H, W))            # [B, T, 3, P]
+        masks = tile_images(masks, (H, W))          # [B, T, P]
+
     # imgs/masks are step ARGUMENTS, not closure constants: baking ~44MB
     # of pixel data into the program bloats the executable the tunneled
     # backend must ship and has crashed large compiles outright.
-    def loss_fn(params, imgs, masks):
+    def loss_tiled(params, imgs, masks):
+        v = verts0 + params["delta"]
+        normals = vertex_normals(v, faces_j,
+                                 incidence=topo.vert_slot_incidence)
+        tr = render_scene(
+            v, faces_j, w2cs, projs,
+            jnp.concatenate(
+                [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
+            (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            layout="tiled",
+        )
+        feat, aa_w = tr["feat"], tr["aa"]
+        nrm = safe_normalize(feat[:, :, :3], axis=2)
+        pred_mask = (apply_antialias_tiled(feat[:, :, 6:7], aa_w)[:, :, 0]
+                     * tr["grid"]["valid"])
+        valid = ((masks > 0) & (tr["ids"] > 0)).astype(jnp.float32)
+        rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3, axis=2)
+        pred = jnp.where(valid[:, :, None] > 0,
+                         rad[:, :, None] * feat[:, :, 3:6], 0.0)
+        pred = apply_antialias_tiled(pred, aa_w)
+        num = jnp.sum(jnp.abs(pred - imgs) * valid[:, :, None])
+        den = jnp.maximum(jnp.sum(valid) * 3, 1.0)
+        return (
+            50.0 * num / den
+            + 200.0 * laplacian_smoothing(
+                v, edges, degrees, nbr_incidence=topo.nbr_incidence)
+            + jnp.sum((pred_mask - masks) ** 2) / (n_views * H * W)
+        )
+
+    def loss_image(params, imgs, masks):
         v = verts0 + params["delta"]
         normals = vertex_normals(v, faces_j,
                                  incidence=topo.vert_slot_incidence)
@@ -162,6 +204,8 @@ def main() -> None:
                 v, edges, degrees, nbr_incidence=topo.nbr_incidence)
             + jnp.mean((pred_mask - masks) ** 2)
         )
+
+    loss_fn = loss_tiled if use_tiled else loss_image
 
     @jax.jit
     def step(params, state, imgs, masks):

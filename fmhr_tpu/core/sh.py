@@ -37,14 +37,41 @@ def sh_basis(normal: jax.Array, degree: int = 3) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
-def sh_radiance(coeff: jax.Array, normal: jax.Array, degree: int = 3) -> jax.Array:
+def sh_radiance(coeff: jax.Array, normal: jax.Array, degree: int = 3,
+                axis: int = -1) -> jax.Array:
     """Scalar radiance from SH coefficients and unit normals.
 
     coeff: [..., degree**2] (broadcastable against normal[..., 0]);
     normal: [..., 3]. Parity: `models/utils.py:208-226` (get_radiance).
+
+    `axis` selects the normal-component axis: the tiled training layout
+    keeps channels on a middle axis ([B, T, 3, P]) so moving them to the
+    last axis would be a relayout; with axis != -1 the basis columns are
+    combined without ever stacking (coeff[..., i] must broadcast against
+    normal with `axis` removed).
     """
-    basis = sh_basis(normal, degree)  # [..., degree**2]
-    return jnp.sum(coeff * basis, axis=-1)
+    if axis == -1:
+        basis = sh_basis(normal, degree)  # [..., degree**2]
+        return jnp.sum(coeff * basis, axis=-1)
+    nx = jax.lax.index_in_dim(normal, 0, axis, keepdims=False)
+    ny = jax.lax.index_in_dim(normal, 1, axis, keepdims=False)
+    nz = jax.lax.index_in_dim(normal, 2, axis, keepdims=False)
+    cols = [jnp.ones_like(nx)]
+    if degree > 1:
+        cols += [ny, nz, nx]
+    if degree > 2:
+        cols += [
+            nx * ny,
+            ny * nz,
+            2.0 * nz * nz - nx * nx - ny * ny,
+            nz * nx,
+            nx * nx - ny * ny,
+        ]
+    out = None
+    for i, c in enumerate(cols):
+        term = coeff[..., i] * c
+        out = term if out is None else out + term
+    return out
 
 
 # Standard real SH constants (degree 0..4).

@@ -44,6 +44,8 @@ from ..core.mesh import (
 from ..core.sh import sh_basis, sh_radiance
 from ..raster import (rasterize, render_pixels, render_scene, interpolate,
                       antialias, antialias_weights, apply_antialias, AATopology)
+from ..raster.antialias import apply_antialias_tiled
+from ..raster.deferred import tile_images
 from ..utils.config import Config
 
 
@@ -68,6 +70,11 @@ class HamConfig:
     # per-tile rasterizer bin capacity; None = default heuristic. Size via
     # raster.visibility.audit_bin_counts for dense (subdiv-3) meshes.
     raster_capacity: int | None = None
+    # "auto" = tiled training losses (no untile/retile transposes, see
+    # raster/deferred.py tiled layout) whenever the deferred Pallas path
+    # is live (non-CPU); True/False force. Loss values and gradients are
+    # identical to the image-layout losses (tests/test_deferred.py).
+    tiled_loss: bool | str = "auto"
 
     @classmethod
     def from_config(cls, conf: Config) -> "HamConfig":
@@ -247,6 +254,43 @@ def run_ham(
     edge_mean = jnp.mean(edge_lengths_sq(vertices, faces))
 
     # ---------------- Stage A: albedo + SH ---------------------------------
+    use_tiled = (cfg.tiled_loss is True or
+                 (cfg.tiled_loss == "auto"
+                  and jax.default_backend() != "cpu"))
+    if use_tiled:
+        # tiled training layout (raster/deferred.py): targets are tiled
+        # ONCE at setup; the per-step loss never leaves the kernels'
+        # [B, T, C, P] layout (the untile + backward retile transposes
+        # measured ~16 ms/step at production geometry). Loss values and
+        # gradients are identical to the image-layout formulation.
+        imgs_t = tile_images(imgs, res)            # [N, T, 3, P]
+        masks_t = tile_images(masks, res)          # [N, T, P]
+        valid_masks_t = tile_images(valid_masks, res)
+        px_total = float(cfg.height * cfg.width)
+
+    def _masked_l1_t(pred, target, valid):
+        # channel axis 2 ([B, T, C, P]); same value as _masked_l1
+        num = jnp.sum(jnp.abs(pred - target) * valid[:, :, None])
+        den = jnp.maximum(jnp.sum(valid) * pred.shape[2], 1.0)
+        return num / den
+
+    def render_stage_a_tiled(albedo_p, sh_p, idx):
+        normals = vertex_normals(vertices, faces, incidence=slot_inc)
+        tr = render_scene(
+            vertices, faces, w2cs[idx], projs[idx],
+            jnp.concatenate([normals, albedo_p], -1),
+            res, aa_topology=topo_aa, layout="tiled", **raster_kw,
+        )
+        feat, aa_w = tr["feat"], tr["aa"]
+        pred_normals = safe_normalize(
+            apply_antialias_tiled(feat[:, :, :3], aa_w), axis=2)
+        rast_albedo = apply_antialias_tiled(feat[:, :, 3:6], aa_w)
+        valid = (masks_t[idx] > 0) & (tr["ids"] > 0)
+        rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals,
+                          cfg.degree, axis=2)
+        pred = rad[:, :, None] * rast_albedo
+        return _masked_l1_t(pred, imgs_t[idx], valid.astype(pred.dtype))
+
     def render_stage_a(albedo_p, sh_p, idx):
         w2c, proj = w2cs[idx], projs[idx]
         normals = vertex_normals(vertices, faces, incidence=slot_inc)
@@ -273,11 +317,13 @@ def run_ham(
         params = {"albedo": albedo0, "sh": sh0}
         state = opt_a.init(params)
 
+        fwd_a = render_stage_a_tiled if use_tiled else render_stage_a
+
         def step(carry, idx):
             p, s = carry
             loss, g = jax.value_and_grad(
                 lambda pp: cfg.sfs_weight
-                * render_stage_a(pp["albedo"], pp["sh"], idx)
+                * fwd_a(pp["albedo"], pp["sh"], idx)
             )(p)
             upd, s = opt_a.update(g, s)
             return (optax.apply_updates(p, upd), s), loss
@@ -288,6 +334,44 @@ def run_ham(
     albedo, sh_coeffs, losses_a = run_stage_a(albedo, sh_coeffs)
 
     # ---------------- Stage B: delta + albedo ------------------------------
+    def stage_b_losses_tiled(delta_p, albedo_p, idx, albedo_w):
+        verts = vertices + delta_p
+        normals = vertex_normals(verts, faces, incidence=slot_inc)
+        tr = render_scene(
+            verts, faces, w2cs[idx], projs[idx],
+            jnp.concatenate(
+                [normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
+            res, aa_topology=topo_aa, layout="tiled", **raster_kw,
+        )
+        feat, aa_w = tr["feat"], tr["aa"]
+        pred_normals = safe_normalize(feat[:, :, :3], axis=2)
+        rast_albedo = feat[:, :, 3:6]
+        # zero the right/bottom tile padding so the mask MSE matches the
+        # image-layout mean exactly (pad pixels contribute (0-0)^2)
+        pred_mask = (apply_antialias_tiled(feat[:, :, 6:7], aa_w)[:, :, 0]
+                     * tr["grid"]["valid"])
+
+        valid = ((masks_t[idx] > 0) & (tr["ids"] > 0)).astype(jnp.float32)
+        rad = sh_radiance(sh_coeffs[idx][:, None, None, :], pred_normals,
+                          cfg.degree, axis=2)
+        pred = rad[:, :, None] * rast_albedo
+        tmp_img = jnp.where(valid[:, :, None] > 0, pred, 0.0)
+        tmp_img = apply_antialias_tiled(tmp_img, aa_w)
+
+        sfs = cfg.sfs_weight * _masked_l1_t(tmp_img, imgs_t[idx], valid)
+        lap = cfg.lap_weight * laplacian_smoothing(
+            verts, edges, degrees, nbr_incidence=nbr_inc)
+        alb = albedo_w * laplacian_smoothing(
+            albedo_p, edges, degrees, nbr_incidence=nbr_inc)
+        npx = valid.shape[0] * px_total
+        mask_l = cfg.mask_weight * (
+            jnp.sum((pred_mask - valid_masks_t[idx]) ** 2) / npx)
+        el = edge_lengths_sq(verts, faces)
+        edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
+        delta_l = cfg.delta_weight * jnp.mean(jnp.sum(delta_p ** 2, -1))
+        return (sfs + lap + alb + mask_l + edge_l + delta_l,
+                tr["counters"].sum(0))
+
     def stage_b_losses(delta_p, albedo_p, idx, albedo_w):
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
@@ -336,8 +420,9 @@ def run_ham(
             albedo_w = jnp.where(
                 i >= half_step, cfg.albedo_weight / 10000.0, cfg.albedo_weight
             )
+            fwd_b = stage_b_losses_tiled if use_tiled else stage_b_losses
             (loss, counters), g = jax.value_and_grad(
-                lambda pp: stage_b_losses(pp["delta"], pp["albedo"], idx, albedo_w),
+                lambda pp: fwd_b(pp["delta"], pp["albedo"], idx, albedo_w),
                 has_aux=True,
             )(p)
             upd, s = opt_b.update(g, s)

@@ -243,6 +243,175 @@ def _aa_axis_weights_compact(ids, zw, su, sv, w_ok, eids, u_vals, v_vals,
     return alpha_p, alpha_q
 
 
+# ---------------------------------------------------------------------------
+# Tiled-layout AA (training-path): pair math directly on the deferred
+# renderer's [B, T, P] tile layout (P = tile_h*tile_w pixels, y-major on
+# lanes). Within-tile neighbors are lane shifts; cross-tile pairs are
+# extracted/placed with static one-hot matmuls (no strided lane ops, no
+# relayouts). Alphas are computed by the SAME `_pair_alphas` as the dense
+# image path, so the blend math cannot fork.
+# ---------------------------------------------------------------------------
+
+
+def _tile_onehots(tile_h: int, tile_w: int, dtype):
+    """Static extraction/placement matrices for tile-boundary pairs.
+
+    E_hi/E_lo [P, tile_h]: one-hot columns selecting the x == tile_w-1 /
+    x == 0 lanes (h-axis halo); F_hi/F_lo [P, tile_w]: the y == tile_h-1
+    / y == 0 lanes (v-axis halo). a @ E extracts [.., tile_h] boundary
+    values; d @ E.T places them back (zeros elsewhere) — both one-hot
+    matmuls, exact in f32.
+    """
+    P = tile_h * tile_w
+    j = np.arange(P)
+    x, y = j % tile_w, j // tile_w
+    e_hi = np.zeros((P, tile_h), np.float32)
+    e_lo = np.zeros((P, tile_h), np.float32)
+    e_hi[x == tile_w - 1, y[x == tile_w - 1]] = 1.0
+    e_lo[x == 0, y[x == 0]] = 1.0
+    f_hi = np.zeros((P, tile_w), np.float32)
+    f_lo = np.zeros((P, tile_w), np.float32)
+    f_hi[y == tile_h - 1, x[y == tile_h - 1]] = 1.0
+    f_lo[y == 0, x[y == 0]] = 1.0
+    return (jnp.asarray(e_hi, dtype), jnp.asarray(e_lo, dtype),
+            jnp.asarray(f_hi, dtype), jnp.asarray(f_lo, dtype))
+
+
+def _ext(a, E):
+    """Extract boundary lanes: [.., P] f32 @ [P, K] one-hot -> [.., K]."""
+    return jax.lax.dot_general(
+        a, E, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def antialias_weights_tiled(comp, grid):
+    """AA blend weights on the tiled layout.
+
+    comp: dict with [B, T, P] component arrays — "ids" (int32), "zw",
+    "w_ok" (bool), "sx"/"sy" (3-tuples), "eids" (3-tuple int32).
+    grid: dict from the deferred renderer — "u"/"v" [T, P] NDC pixel
+    centers, "valid" [T, P] bool (inside the un-padded H x W), "tiles_x",
+    "tiles_y", "tile_h", "tile_w".
+
+    Covers exactly the image-layout pair set: within-tile lane-shift
+    pairs plus tile-boundary halo pairs (roll of the SMALL extracted
+    arrays along T); pairs touching the right/bottom padding are masked
+    by `valid`. Returns weights for `apply_antialias_tiled`.
+    """
+    th, tw = grid["tile_h"], grid["tile_w"]
+    tiles_x, tiles_y = grid["tiles_x"], grid["tiles_y"]
+    T = tiles_x * tiles_y
+    P = th * tw
+    dtype = comp["zw"].dtype
+    E_hi, E_lo, F_hi, F_lo = _tile_onehots(th, tw, dtype)
+    j = np.arange(P)
+    x_in = jnp.asarray(j % tw)
+    y_in = jnp.asarray(j // tw)
+    t_ar = np.arange(T)
+    tx_ok = jnp.asarray(t_ar % tiles_x < tiles_x - 1)[:, None]  # [T, 1]
+    ty_ok = jnp.asarray(t_ar // tiles_x < tiles_y - 1)[:, None]
+    valid = grid["valid"]
+
+    ids_f = comp["ids"].astype(dtype)
+    valid_f = valid.astype(dtype)
+    wok_f = comp["w_ok"].astype(dtype)
+
+    def axis_weights(axis):
+        if axis == "h":
+            shift, in_mask = 1, x_in < tw - 1
+            su, sv = comp["sx"], comp["sy"]
+            u_c, v_c = grid["u"], grid["v"]
+            E_p, E_q, t_roll, edge_ok = E_hi, E_lo, 1, tx_ok
+        else:
+            shift, in_mask = tw, y_in < th - 1
+            su, sv = comp["sy"], comp["sx"]
+            u_c, v_c = grid["v"], grid["u"]
+            E_p, E_q, t_roll, edge_ok = F_hi, F_lo, tiles_x, ty_ok
+
+        def q_of(a):
+            return jnp.roll(a, -shift, axis=-1)
+
+        # ---- interior pairs: p = every lane, q = lane + shift ----------
+        ids_q = q_of(comp["ids"])
+        cov_p = comp["ids"] > 0
+        cov_q = ids_q > 0
+        geom = in_mask & valid & q_of(valid)
+        active = (comp["ids"] != ids_q) & (cov_p | cov_q) & geom
+        a_p, a_q = _pair_alphas(
+            tuple(su), tuple(sv),
+            tuple(q_of(a) for a in su), tuple(q_of(a) for a in sv),
+            cov_p, cov_q, comp["w_ok"], q_of(comp["w_ok"]),
+            comp["zw"], q_of(comp["zw"]), comp["ids"], ids_q,
+            list(comp["eids"]), [q_of(e) for e in comp["eids"]],
+            v_c, u_c, q_of(u_c), active)
+
+        # ---- boundary pairs: p = last line of tile t, q = first line of
+        # the adjacent tile (one-hot extraction, small-array T-roll) ----
+        def bq(a):
+            # roll along the T axis: [B, T, K] -> axis 1, [T, K] -> axis 0
+            return jnp.roll(a, -t_roll, axis=a.ndim - 2)
+
+        def ep(a):
+            return _ext(a, E_p)
+
+        def eq(a):
+            return bq(_ext(a, E_q))
+
+        idp_b = ep(ids_f)
+        idq_b = eq(ids_f)
+        covp_b = idp_b > 0.5
+        covq_b = idq_b > 0.5
+        geom_b = ((ep(valid_f) > 0.5) & (eq(valid_f) > 0.5)
+                  & edge_ok)
+        active_b = (idp_b != idq_b) & (covp_b | covq_b) & geom_b
+        ab_p, ab_q = _pair_alphas(
+            tuple(ep(a) for a in su), tuple(ep(a) for a in sv),
+            tuple(eq(a) for a in su), tuple(eq(a) for a in sv),
+            covp_b, covq_b, ep(wok_f) > 0.5, eq(wok_f) > 0.5,
+            ep(comp["zw"]), eq(comp["zw"]), idp_b, idq_b,
+            [ep(e.astype(dtype)) for e in comp["eids"]],
+            [eq(e.astype(dtype)) for e in comp["eids"]],
+            ep(v_c), ep(u_c), eq(u_c), active_b)
+        return (a_p, a_q), (ab_p, ab_q)
+
+    h_int, h_bnd = axis_weights("h")
+    v_int, v_bnd = axis_weights("v")
+    return {
+        "layout": "tiled",
+        "h": h_int, "v": v_int, "hb": h_bnd, "vb": v_bnd,
+        "_grid": grid,
+    }
+
+
+def apply_antialias_tiled(color, weights):
+    """Blend tiled `color` [B, T, C, P] with `antialias_weights_tiled`
+    output. Mirrors `apply_antialias` pair-for-pair."""
+    grid = weights["_grid"]
+    th, tw = grid["tile_h"], grid["tile_w"]
+    tiles_x = grid["tiles_x"]
+    dtype = color.dtype
+    E_hi, E_lo, F_hi, F_lo = _tile_onehots(th, tw, dtype)
+
+    out = color
+    for key, shift, E_p, E_q, t_roll in (
+            ("h", 1, E_hi, E_lo, 1),
+            ("v", tw, F_hi, F_lo, tiles_x)):
+        a_p, a_q = weights[key]
+        c_q = jnp.roll(color, -shift, axis=-1)
+        d_p = a_p[:, :, None] * (c_q - color)
+        d_q = a_q[:, :, None] * (color - c_q)       # at pair index p
+        out = out + d_p + jnp.roll(d_q, shift, axis=-1)
+
+        ab_p, ab_q = weights[key + "b"]
+        c_pb = _ext(color, E_p)                     # [B, T, C, K]
+        c_qb = jnp.roll(_ext(color, E_q), -t_roll, axis=1)
+        db_p = ab_p[:, :, None] * (c_qb - c_pb)
+        db_q = ab_q[:, :, None] * (c_pb - c_qb)
+        out = out + _ext(db_p, E_p.T) + _ext(
+            jnp.roll(db_q, t_roll, axis=1), E_q.T)
+    return out
+
+
 def audit_aa_pairs(ids) -> tuple[int, int]:
     """Active AA pair counts (horizontal, vertical) of a concrete id map
     [B, H, W] — for sizing `antialias_weights(budget=...)`. Counts every

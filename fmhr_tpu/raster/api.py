@@ -252,9 +252,13 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
     reduction are then B-independent. XLA paths project first and take
     the clip-space render_pixels route. Same returns as render_pixels.
     """
+    layout = kw.get("layout", "image")
     if impl in ("auto", "deferred"):
         on_cpu = jax.default_backend() == "cpu"
-        if impl == "deferred" or not on_cpu:
+        # layout="tiled" exists only on the deferred path; on CPU it runs
+        # the kernels in interpret mode (parity tests), on TPU it is the
+        # training fast path (no untile/retile transposes).
+        if impl == "deferred" or not on_cpu or layout == "tiled":
             topo_d = _deferred_topology_for(
                 faces, verts.shape[0], face_order=kw.get("face_order"))
             if topo_d is not None:
@@ -270,7 +274,11 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     mesh=kw.get("mesh"),
                     views_axis=kw.get("views_axis", "views"),
                     with_counters=kw.get("with_counters", False),
+                    layout=layout,
                     interpret=on_cpu)
+    if layout == "tiled":
+        raise ValueError("layout='tiled' requires the deferred path "
+                         "(static faces); got an impl/topology fallback")
     # XLA paths: project exactly like optim.ham.project_verts
     ph = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
     rot = jnp.einsum("vk,bkl->bvl", ph, w2cs)

@@ -35,7 +35,7 @@ def build_step(preset):
         MeshTopology, vertex_normals, safe_normalize, laplacian_smoothing)
     from fmhr_tpu.core.sh import sh_radiance
     from fmhr_tpu.optim.ham import project_verts, _masked_l1
-    from fmhr_tpu.raster import apply_antialias, render_scene
+    from fmhr_tpu.raster import apply_antialias, render_scene, AATopology
     from fmhr_tpu.raster.deferred import (
         DeferredTopology, render_pixels_deferred, audit_deferred_rows)
 
@@ -46,6 +46,7 @@ def build_step(preset):
     V = verts.shape[0]
     topo = MeshTopology.build(faces, V)
     topo_d = DeferredTopology.build(faces, V)
+    topo_aa = AATopology.build(faces, V)
     edges = jnp.asarray(topo.edges)
     degrees = jnp.asarray(topo.degrees)
     rng = np.random.default_rng(0)
@@ -61,28 +62,39 @@ def build_step(preset):
     clip0 = project_verts(verts0, w2cs, projs)
     _, budget = audit_deferred_rows(clip0, faces_j, (H, W))
 
+    from fmhr_tpu.raster.antialias import apply_antialias_tiled
+    from fmhr_tpu.raster.deferred import tile_images
+
+    imgs_t = tile_images(imgs, (H, W))
+    masks_t = tile_images(masks, (H, W))
+    n_views_ = imgs.shape[0]
+
     def loss_fn(params):
-        # the PROJECTED-input scene path — exactly what optim/ham.py and
-        # bench.py run (projection inside the core; B-independent corner
-        # gather and vertex reduction)
+        # the TILED projected scene path — exactly what optim/ham.py
+        # stage B and bench.py run on TPU
         v = verts0 + params["delta"]
         normals = vertex_normals(v, faces_j,
                                  incidence=topo.vert_slot_incidence)
         attr = jnp.concatenate(
             [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1)
-        rast, feat, aa_w = render_scene(
-            v, faces_j, w2cs, projs, attr, (H, W), rows_budget=budget)
-        nrm = safe_normalize(feat[..., :3])
-        pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
-        valid = ((masks > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
-        rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3)
-        pred = jnp.where(valid[..., None] > 0,
-                         rad[..., None] * feat[..., 3:6], 0.0)
-        pred = apply_antialias(pred, aa_w)
-        return (50.0 * _masked_l1(pred, imgs, valid)
+        tr = render_scene(
+            v, faces_j, w2cs, projs, attr, (H, W),
+            aa_topology=topo_aa, rows_budget=budget, layout="tiled")
+        feat, aa_w = tr["feat"], tr["aa"]
+        nrm = safe_normalize(feat[:, :, :3], axis=2)
+        pred_mask = (apply_antialias_tiled(feat[:, :, 6:7], aa_w)[:, :, 0]
+                     * tr["grid"]["valid"])
+        valid = ((masks_t > 0) & (tr["ids"] > 0)).astype(jnp.float32)
+        rad = sh_radiance(params["sh"][:, None, None, :], nrm, 3, axis=2)
+        pred = jnp.where(valid[:, :, None] > 0,
+                         rad[:, :, None] * feat[:, :, 3:6], 0.0)
+        pred = apply_antialias_tiled(pred, aa_w)
+        num = jnp.sum(jnp.abs(pred - imgs_t) * valid[:, :, None])
+        den = jnp.maximum(jnp.sum(valid) * 3, 1.0)
+        return (50.0 * num / den
                 + 200.0 * laplacian_smoothing(
                     v, edges, degrees, nbr_incidence=topo.nbr_incidence)
-                + jnp.mean((pred_mask - masks) ** 2))
+                + jnp.sum((pred_mask - masks_t) ** 2) / (n_views_ * H * W))
 
     return jax.jit(jax.value_and_grad(loss_fn)), params
 

@@ -654,3 +654,123 @@ def test_winner_kernel_matches_winner_lists():
             # assert the reference set is exactly the distinct chunks
             got = set((v // _CHUNK) for v in slot[b, t] if v >= 0)
             assert got == ref_set, (b, t)
+
+
+def _proj_scene(res=(32, 256), n_views=2, n_lat=12, n_lon=16):
+    """Sphere + REAL projection matrices for the projected-input path."""
+    import math
+
+    verts = []
+    for i in range(n_lat + 1):
+        th = math.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * math.pi * j / n_lon
+            verts.append([math.sin(th) * math.cos(ph),
+                          math.sin(th) * math.sin(ph), math.cos(th)])
+    verts = np.asarray(verts, np.float32) * 0.6
+    faces = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces += [[a, b, c], [b, d, c]]
+    faces = np.asarray(faces, np.int32)
+    mats = []
+    for v in range(n_views):
+        ang = 2 * math.pi * v / n_views + 0.3
+        R = np.asarray([[math.cos(ang), 0, math.sin(ang), 0],
+                        [0, 1, 0, 0],
+                        [-math.sin(ang), 0, math.cos(ang), 0],
+                        [0, 0, 0, 1]], np.float32)
+        P = np.zeros((4, 4), np.float32)
+        P[0, 0] = 0.9
+        P[1, 1] = 0.9
+        P[3, 2] = -0.1
+        P[2, 3] = 1.0
+        P[3, 3] = 2.5
+        mats.append(R @ P)
+    return (jnp.asarray(verts), faces, jnp.asarray(np.stack(mats)))
+
+
+def test_tiled_layout_matches_image():
+    """layout='tiled' == image layout: features, ids, AND the applied AA
+    (within-tile lane-shift pairs + one-hot halo pairs must reproduce the
+    dense image-pair set exactly, including tile-boundary crossings and
+    masked right/bottom padding)."""
+    from fmhr_tpu.raster.deferred import (
+        render_pixels_projected, tile_images, untile_images)
+    from fmhr_tpu.raster import apply_antialias
+    from fmhr_tpu.raster.antialias import apply_antialias_tiled
+
+    # res NOT multiples of the tile: exercises the padding masks
+    res = (27, 250)
+    verts, faces, mats = _proj_scene(res=res)
+    V = verts.shape[0]
+    attr = jnp.asarray(
+        np.random.default_rng(0).standard_normal((V, 5)), jnp.float32)
+    topo = DeferredTopology.build(faces, V)
+
+    rast, feat, aa_w = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=8, interpret=True)
+    tr = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=8, interpret=True,
+        layout="tiled")
+
+    ids_t = untile_images(tr["ids"].astype(jnp.float32), res)
+    np.testing.assert_array_equal(
+        np.asarray(ids_t).astype(np.int64),
+        np.asarray(rast[..., 3]).astype(np.int64))
+    feat_t = untile_images(tr["feat"], res)
+    np.testing.assert_allclose(np.asarray(feat_t), np.asarray(feat),
+                               rtol=1e-6, atol=1e-6)
+
+    color = jnp.asarray(np.random.default_rng(1).standard_normal(
+        feat.shape[:3] + (3,)), jnp.float32)
+    img_aa = apply_antialias(color, aa_w)
+    color_t = tile_images(color, res)
+    img_aa_t = untile_images(
+        apply_antialias_tiled(color_t, tr["aa"]), res)
+    np.testing.assert_allclose(np.asarray(img_aa_t), np.asarray(img_aa),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_layout_grads_match_image():
+    from fmhr_tpu.raster.deferred import (
+        render_pixels_projected, tile_images)
+    from fmhr_tpu.raster import apply_antialias
+    from fmhr_tpu.raster.antialias import apply_antialias_tiled
+
+    res = (27, 250)
+    verts, faces, mats = _proj_scene(res=res)
+    V = verts.shape[0]
+    attr = jnp.asarray(
+        np.random.default_rng(0).standard_normal((V, 5)), jnp.float32)
+    topo = DeferredTopology.build(faces, V)
+    cot = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, res[0], res[1], 3)), jnp.float32)
+    cot_t = tile_images(cot, res)
+
+    def loss_img(v, a):
+        rast, feat, aa_w = render_pixels_projected(
+            v, mats, a, topo, res, max_span=8, interpret=True)
+        img = apply_antialias(feat[..., :3], aa_w)
+        return jnp.sum(img * cot)
+
+    def loss_tiled(v, a):
+        tr = render_pixels_projected(
+            v, mats, a, topo, res, max_span=8, interpret=True,
+            layout="tiled")
+        img = apply_antialias_tiled(tr["feat"][:, :, :3], tr["aa"])
+        return jnp.sum(img * cot_t)
+
+    l0 = loss_img(verts, attr)
+    l1 = loss_tiled(verts, attr)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    gv0, ga0 = jax.grad(loss_img, argnums=(0, 1))(verts, attr)
+    gv1, ga1 = jax.grad(loss_tiled, argnums=(0, 1))(verts, attr)
+    np.testing.assert_allclose(np.asarray(gv0), np.asarray(gv1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga0), np.asarray(ga1),
+                               rtol=1e-4, atol=1e-6)

@@ -150,3 +150,35 @@ def test_ham_checkpoint_resume(tmp_path):
     out_resumed = run_ham(imgs, gray, masks, w2cs, projs, verts_gt, faces, cfg,
                           checkpoint_dir=ckpt, checkpoint_every=3)
     assert np.isfinite(np.asarray(out_resumed["losses_sfs"])).all()
+
+
+@pytest.mark.slow
+def test_ham_tiled_loss_matches_image():
+    """cfg.tiled_loss=True (tiled deferred losses) reproduces the
+    image-layout run: same loss traces and final mesh within float
+    tolerance (the tiled path runs the deferred kernels in interpret
+    mode on CPU; the image path takes the XLA render — allclose between
+    those is separately pinned by test_deferred)."""
+    res = 32
+    m, verts_gt, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res)
+    rng = np.random.default_rng(5)
+    verts0 = verts_gt + rng.normal(
+        size=verts_gt.shape).astype(np.float32) * 0.003
+
+    kw = dict(width=res, height=res, epoch_albedo=2, epoch_sfs=3,
+              sfs_weight=50.0, lap_weight=200.0, albedo_weight=1.0,
+              mask_weight=10.0, edge_weight=5e4, delta_weight=100.0,
+              batch=3, lr=5e-4, albedo_lr=0.01, sh_lr=0.005)
+    out_img = run_ham(imgs, gray, masks, w2cs, projs, verts0, faces,
+                      HamConfig(tiled_loss=False, **kw))
+    out_til = run_ham(imgs, gray, masks, w2cs, projs, verts0, faces,
+                      HamConfig(tiled_loss=True, **kw))
+    np.testing.assert_allclose(
+        np.asarray(out_til["losses_albedo"]),
+        np.asarray(out_img["losses_albedo"]), rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_til["losses_sfs"]),
+        np.asarray(out_img["losses_sfs"]), rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_til["vertices"]),
+        np.asarray(out_img["vertices"]), rtol=1e-3, atol=2e-5)
