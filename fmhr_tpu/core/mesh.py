@@ -149,10 +149,19 @@ def vertex_normals(vertices: jax.Array, faces, incidence=None) -> jax.Array:
 
 
 def _vertex_normals_inc(vertices: jax.Array, faces, incidence) -> jax.Array:
-    """Scatter-free vertex normals for one [V, 3] mesh (see above)."""
+    """Scatter-free vertex normals for one [V, 3] mesh (see above).
+
+    Exploits that the reference formula's three corner contributions
+    (b-a)x(c-a), (c-b)x(a-b), (a-c)x(b-c) are the SAME face normal
+    (edge-pair cross products of one triangle, equal in exact
+    arithmetic) — so the vertex normal is just the sum of incident FACE
+    normals: one cross per face, a [F+1, 3] table, and a face-incidence
+    gather (slot // 3). Differs from the scatter path only in f32
+    summation order/ulps.
+    """
     faces_j = jnp.asarray(faces, jnp.int32)          # [F, 3]
-    inc_j = jnp.asarray(incidence, jnp.int32)        # [V, D]
-    V = vertices.shape[0]
+    inc_j = jnp.asarray(incidence, jnp.int32)        # [V, D] slots
+    face_inc = inc_j // 3                            # [V, D], sentinel F
 
     def slot_sum(x):
         # [3F, C] slot-major (f*3 + corner) -> [V, C]
@@ -174,25 +183,24 @@ def _vertex_normals_inc(vertices: jax.Array, faces, incidence) -> jax.Array:
     corner_gather.defvjp(corner_gather_fwd, corner_gather_bwd)
 
     @jax.custom_vjp
-    def accumulate(slots):
-        return slot_sum(slots)                       # [3F, 3] -> [V, 3]
+    def face_sum(fn):
+        # [F, 3] face normals -> [V, 3] incident sums
+        fnp = jnp.concatenate([fn, jnp.zeros((1, 3), fn.dtype)])
+        return fnp[face_inc].sum(axis=1)
 
-    def accumulate_fwd(slots):
-        return slot_sum(slots), None
+    def face_sum_fwd(fn):
+        return face_sum(fn), None
 
-    def accumulate_bwd(_, g):
-        # d slots[f*3+k] = g[faces[f, k]] — a plain row gather
-        return (g[faces_j.reshape(-1)],)
+    def face_sum_bwd(_, g):
+        # d fn[f] = sum over the face's three corners of g at the owning
+        # vertex — a plain [F, 3]-row gather + tiny sum
+        return (g[faces_j].sum(axis=1),)
 
-    accumulate.defvjp(accumulate_fwd, accumulate_bwd)
+    face_sum.defvjp(face_sum_fwd, face_sum_bwd)
 
     tri = corner_gather(vertices)
-    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
-    n0 = jnp.cross(b - a, c - a)
-    n1 = jnp.cross(c - b, a - b)
-    n2 = jnp.cross(a - c, b - c)
-    slots = jnp.stack([n0, n1, n2], axis=1).reshape(-1, 3)  # [3F, 3]
-    return safe_normalize(accumulate(slots), eps=1e-12)
+    fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    return safe_normalize(face_sum(fn), eps=1e-12)
 
 
 def safe_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:

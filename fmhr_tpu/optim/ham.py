@@ -39,7 +39,7 @@ import optax
 
 from ..core.mesh import (
     MeshTopology, vertex_normals, edge_lengths_sq, laplacian_smoothing,
-    safe_normalize,
+    safe_normalize, uniform_laplacian,
 )
 from ..core.sh import sh_basis, sh_radiance
 from ..raster import (rasterize, render_pixels, render_scene, interpolate,
@@ -334,6 +334,23 @@ def run_ham(
     albedo, sh_coeffs, losses_a = run_stage_a(albedo, sh_coeffs)
 
     # ---------------- Stage B: delta + albedo ------------------------------
+    def _joint_laplacians(verts, albedo_p, albedo_w):
+        """Both stage-B smoothing losses from ONE neighbor gather: the
+        uniform Laplacian is linear per channel, so L[verts | albedo] ==
+        [L verts | L albedo] exactly; the row norms are then taken per
+        half. Halves the [V, D] gather traffic of the hot loop."""
+        lv = uniform_laplacian(
+            jnp.concatenate([verts, albedo_p], -1), edges, degrees,
+            nbr_incidence=nbr_inc)
+        V = verts.shape[0]
+
+        def norm_mean(lap):
+            row = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-20)
+            return jnp.sum(row) / V
+
+        return (cfg.lap_weight * norm_mean(lv[:, :3]),
+                albedo_w * norm_mean(lv[:, 3:]))
+
     def stage_b_losses_tiled(delta_p, albedo_p, idx, albedo_w):
         verts = vertices + delta_p
         normals = vertex_normals(verts, faces, incidence=slot_inc)
@@ -359,10 +376,7 @@ def run_ham(
         tmp_img = apply_antialias_tiled(tmp_img, aa_w)
 
         sfs = cfg.sfs_weight * _masked_l1_t(tmp_img, imgs_t[idx], valid)
-        lap = cfg.lap_weight * laplacian_smoothing(
-            verts, edges, degrees, nbr_incidence=nbr_inc)
-        alb = albedo_w * laplacian_smoothing(
-            albedo_p, edges, degrees, nbr_incidence=nbr_inc)
+        lap, alb = _joint_laplacians(verts, albedo_p, albedo_w)
         npx = valid.shape[0] * px_total
         mask_l = cfg.mask_weight * (
             jnp.sum((pred_mask - valid_masks_t[idx]) ** 2) / npx)
@@ -392,10 +406,7 @@ def run_ham(
         tmp_img = apply_antialias(tmp_img, aa_w)
 
         sfs = cfg.sfs_weight * _masked_l1(tmp_img, imgs[idx], valid)
-        lap = cfg.lap_weight * laplacian_smoothing(
-            verts, edges, degrees, nbr_incidence=nbr_inc)
-        alb = albedo_w * laplacian_smoothing(
-            albedo_p, edges, degrees, nbr_incidence=nbr_inc)
+        lap, alb = _joint_laplacians(verts, albedo_p, albedo_w)
         mask_l = cfg.mask_weight * jnp.mean((pred_mask - valid_masks[idx]) ** 2)
         el = edge_lengths_sq(verts, faces)
         edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))

@@ -172,6 +172,22 @@ def main():
         print(f"{d / 3e3:9.3f} ms/step x{counts[name] // 3:<3} {name:32s}"
               f" {op[:90]} {src}")
 
+    # ---- grouped summary over ALL ops (incl. the long tail) -----------
+    by_src = collections.Counter()
+    skip = {n for n in durs if "jit_" in n or n in ("0", "1", "2")}
+    for name, d in durs.items():
+        if name in skip:
+            continue
+        meta = meta_by_name.get(name.lstrip("%"), "")
+        ms = re.search(r'source_file="([^"]*)"(?:.*?source_line=(\d+))?',
+                       meta)
+        key = (f'{os.path.basename(ms.group(1))}:{ms.group(2) or "?"}'
+               if ms else "(unattributed)")
+        by_src[key] += d
+    print("\n---- total by source line (all ops) ----")
+    for key, d in by_src.most_common(40):
+        print(f"{d / 3e3:9.3f} ms/step  {key}")
+
 
 if __name__ == "__main__":
     main()
