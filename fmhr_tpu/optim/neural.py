@@ -73,7 +73,8 @@ def neural_forward(
 ):
     """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]); with
     `with_counters=True` appends the deferred renderer's capacity
-    counters [B, 2] (pairs dropped, winner-cap overflow — see
+    counters [B, 3] (pairs dropped, winner-cap overflow,
+    global-cap chunk drops — see
     raster.deferred; zeros on the XLA paths).
 
     `vertices` may be [V, 3] (one mesh, B camera views — the per-scan
@@ -113,7 +114,7 @@ def neural_forward(
         clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
         rast, feat, _ = render_pixels(clip, attr, faces, (H, W),
                                       **(raster_kw or {}))
-        counters = jnp.zeros((B, 2), jnp.int32)  # category path: unaudited
+        counters = jnp.zeros((B, 3), jnp.int32)  # category path: unaudited
     else:
         ones = jnp.ones_like(vertices[:, :1])
         normals_w = vertex_normals(vertices, faces,
@@ -125,7 +126,7 @@ def neural_forward(
             vertices, faces, w2cs, projs, attr, (H, W),
             with_counters=with_counters, **(raster_kw or {}))
         rast, feat = out[0], out[1]
-        counters = out[3] if with_counters else jnp.zeros((B, 2), jnp.int32)
+        counters = out[3] if with_counters else jnp.zeros((B, 3), jnp.int32)
     masks = feat[..., :1]
     nrm_view = jnp.einsum(
         "bhwk,bkl->bhwl", feat[..., 1:4], w2cs[:, :3, :3])
@@ -406,16 +407,17 @@ def train_neural_renderer(
     p, _, _, (losses2, counters2) = segmented_scan(
         run_phase2_seg, params2, opt2.init(params2), k4, batches2,
         steps_pe2, "phase2",
-        empty=(jnp.zeros((0,), jnp.float32), jnp.zeros((0, 2), jnp.int32)))
+        empty=(jnp.zeros((0,), jnp.float32), jnp.zeros((0, 3), jnp.int32)))
     total_overflow = np.asarray(counters2).sum(0) if counters2.size else \
-        np.zeros(2, np.int64)
+        np.zeros(3, np.int64)
     if total_overflow.any():
         import warnings
 
         warnings.warn(
             "neural-render phase 2 rendered with capacity overflow: "
-            f"{int(total_overflow[0])} (tile,chunk) pairs dropped and "
-            f"{int(total_overflow[1])} winner-cap overflows across all "
+            f"{int(total_overflow[0])} (tile,chunk) pairs dropped, "
+            f"{int(total_overflow[1])} winner-cap overflows, and "
+            f"{int(total_overflow[2])} global-cap chunk drops across all "
             "steps — the optimized mesh drifted past the setup-time "
             "budget audit; raise rows_budget/winner_cap.", stacklevel=2)
 

@@ -265,6 +265,8 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                 from .deferred import render_pixels_projected
 
                 mats = jnp.einsum("bkl,blm->bkm", w2cs, projs)
+                kw_wc = ({"winner_cap": int(kw["winner_cap"])}
+                         if kw.get("winner_cap") else {})
                 return render_pixels_projected(
                     verts, mats, attr, topo_d, resolution,
                     max_span=kw.get("max_span"),
@@ -275,7 +277,7 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     views_axis=kw.get("views_axis", "views"),
                     with_counters=kw.get("with_counters", False),
                     layout=layout,
-                    interpret=on_cpu)
+                    interpret=on_cpu, **kw_wc)
     if layout == "tiled":
         raise ValueError("layout='tiled' requires the deferred path "
                          "(static faces); got an impl/topology fallback")
@@ -284,12 +286,14 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
     rot = jnp.einsum("vk,bkl->bvl", ph, w2cs)
     clip = jnp.einsum("bvk,bkl->bvl", rot, projs)
     with_counters = kw.pop("with_counters", False)
+    kw.pop("layout", None)       # image-layout only on the XLA paths
+    kw.pop("winner_cap", None)   # deferred-path concept
     out = render_pixels(clip, attr, faces, resolution, impl=impl,
                         aa_topology=aa_topology, **kw)
     if with_counters:
         # capacity counters are a deferred-path concept; the XLA oracle
         # paths are capacity-free, so they report zeros
-        out = out + (jnp.zeros((clip.shape[0], 2), jnp.int32),)
+        out = out + (jnp.zeros((clip.shape[0], 3), jnp.int32),)
     return out
 
 

@@ -375,12 +375,17 @@ _LISTS_MODE = os.environ.get("FMHR_DEFERRED_LISTS", "sort")
 
 
 def _glob_lists(g_mask, p):
+    """Returns (g_list, g_cnt clamped to g_cap, g_drop) where g_drop is
+    the number of oversize (global) chunks dropped past global_cap —
+    counted (ADVICE r3) so a capacity-degraded render can't report
+    all-zero counters."""
     g_idx = jnp.nonzero(g_mask, size=p["g_cap"],
                         fill_value=0)[0].astype(jnp.int32)
-    g_cnt = jnp.sum(g_mask.astype(jnp.int32))
-    g_cnt = jnp.minimum(g_cnt, p["g_cap"])
+    g_raw = jnp.sum(g_mask.astype(jnp.int32))
+    g_cnt = jnp.minimum(g_raw, p["g_cap"])
+    g_drop = (g_raw - g_cnt).astype(jnp.int32)
     g_list = jnp.pad(g_idx, (0, p["g_pad"] - p["g_cap"]))
-    return g_list, g_cnt
+    return g_list, g_cnt, g_drop
 
 
 def _build_lists(sx, sy, w, p, *, H, W, max_span):
@@ -389,7 +394,8 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
     g_list [g_pad] int32, g_cnt scalar int32, n_drop scalar int32 — the
     live (tile, chunk) pairs dropped because they exceeded pair_cap;
-    nonzero means the highest-index tiles render incomplete geometry).
+    nonzero means the highest-index tiles render incomplete geometry —
+    and g_drop scalar int32, oversize chunks dropped past global_cap).
 
     Counting-sort formulation (default): a dense [nc, T] hit indicator
     gives each pair's position directly (per-tile offset from a cumsum
@@ -432,10 +438,10 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
         ends = jnp.sum(tile_of[None, :] <= t_ar[:, None], axis=1,
                        dtype=jnp.int32)
         chunk_list = jnp.where(key < dead, key % nc, 0).astype(jnp.int32)
-        g_list, g_cnt = _glob_lists(g_mask, p)
+        g_list, g_cnt, g_drop = _glob_lists(g_mask, p)
         total = jnp.sum(jnp.where(emit, n_tiles, 0))
         n_drop = jnp.maximum(total - cap, 0).astype(jnp.int32)
-        return chunk_list, starts, ends, g_list, g_cnt, n_drop
+        return chunk_list, starts, ends, g_list, g_cnt, n_drop, g_drop
 
     t_ar = jnp.arange(T, dtype=jnp.int32)
     tx = t_ar % tiles_x
@@ -462,9 +468,9 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
         chunk, mode="drop", unique_indices=True)
     starts = jnp.minimum(offs[:T], cap)
     ends = jnp.minimum(offs[1:], cap)
-    g_list, g_cnt = _glob_lists(g_mask, p)
+    g_list, g_cnt, g_drop = _glob_lists(g_mask, p)
     n_drop = jnp.maximum(offs[T] - cap, 0).astype(jnp.int32)
-    return chunk_list, starts, ends, g_list, g_cnt, n_drop
+    return chunk_list, starts, ends, g_list, g_cnt, n_drop, g_drop
 
 
 def _coeff_table(coords_t, p, H, W):
@@ -682,6 +688,14 @@ def _make_passa_kernel(p):
             # sort/scatter compaction stage (was ~20-30% of the whole
             # fwd+bwd step at production geometry). DISTINCT because the
             # pair list itself is duplicate-free per tile.
+            # Degraded-mode retention policy (ADVICE r3): on winner-cap
+            # overflow the FIRST wcap chunks in pair-list order (main
+            # list ascending, then globals) are kept; the replaced XLA
+            # `_winner_lists` kept the lowest-NUMBERED chunks instead.
+            # Either way overflow pixels render as background and the
+            # overflow is counted in wstat lane 1 — the policy only
+            # affects WHICH pixels degrade, pinned by
+            # tests/test_deferred.py::test_winner_cap_overflow_retention.
             wcap = p["wcap"]
             cw = jnp.where(covered, jax.lax.div(slot, K), -1)  # [P, 1]
             wiota = jax.lax.broadcasted_iota(jnp.int32, (1, wcap), 1)
@@ -1162,8 +1176,9 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
     shared_attr) -> (pix [rows_used, B, H, W] f32, ids [B, H, W] int32,
-    counters [B, 2] int32: per-view [pairs dropped past the SMEM cap,
-    winner-cap overflow] — both 0 on a healthy run).
+    counters [B, 3] int32: per-view [pairs dropped past the SMEM cap,
+    winner-cap overflow, global-cap chunk drops] — all 0 on a healthy
+    run).
     pix rows: 0 u, 1 v, 2 zw (masked barycentrics/depth), 3:6 sx per
     corner, 6:9 sy per corner, 9:9+C interpolated features (masked),
     9+C face id (float), 10+C:13+C AA edge ids, 13+C w_ok flag.
@@ -1269,7 +1284,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         iw = 1.0 / jnp.where(jnp.abs(w_rows) > W_EPS, w_rows, W_EPS)
         sx_rows = coords_t[:, 0:3] * iw
         sy_rows = coords_t[:, 3:6] * iw
-        chunk_list, starts, ends, g_list, g_cnt, n_drop = jax.vmap(
+        chunk_list, starts, ends, g_list, g_cnt, n_drop, g_drop = jax.vmap(
             lambda sx, sy, w: _build_lists(
                 sx, sy, w, p, H=H, W=W, max_span=max_span)
         )(sx_rows, sy_rows, w_rows)
@@ -1363,9 +1378,11 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         # per-view overflow counters (VERDICT r2 #7): col 0 = live pairs
         # dropped past the SMEM pair cap, col 1 = winner-cap overflow
         # (distinct winning chunks beyond wcap; those pixels render as
-        # background). Both are 0 on a healthy run.
+        # background), col 2 = oversize chunks dropped past global_cap
+        # (ADVICE r3: previously silent). All 0 on a healthy run.
         counters = jnp.stack(
-            [n_drop, wstat[:, :, 0, 1].sum(axis=1)], axis=-1)  # [B, 2]
+            [n_drop, wstat[:, :, 0, 1].sum(axis=1), g_drop],
+            axis=-1)  # [B, 3]
         return pix, ids, counters, slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta
 
     def _bwd_gtab(res, cts):
@@ -1550,8 +1567,9 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
 
     clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
     (rast [B, H, W, 4], feat [B, H, W, C], aa_weights|None); with
-    `with_counters=True` appends counters [B, 2] int32 (per-view pairs
-    dropped past the SMEM cap, winner-cap overflow — 0 when healthy), so
+    `with_counters=True` appends counters [B, 3] int32 (per-view pairs
+    dropped past the SMEM cap, winner-cap overflow, global-cap chunk
+    drops — 0 when healthy), so
     trainers can surface capacity degradation in their loss traces.
     Barycentrics and feature interpolation happen INSIDE the pass-B
     kernel; only the antialias pass (which needs cross-pixel neighbors)
@@ -1708,7 +1726,7 @@ def _finalize_deferred_tiled(pix, ids, topo, C, dtype, with_aa, resolution,
 
     Returns a dict: "feat" [B, T, C, P] (interpolated attributes),
     "ids" [B, T, P] int32, "grid" (see `tile_grid`), "aa" (weights for
-    `apply_antialias_tiled`, or None), "counters" [B, 2].
+    `apply_antialias_tiled`, or None), "counters" [B, 3].
     """
     from .antialias import antialias_weights_tiled
 

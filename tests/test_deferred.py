@@ -313,7 +313,7 @@ def test_build_lists_matches_sort(scene):
         iw = 1.0 / jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
         sx = tri[..., 0].T * iw
         sy = tri[..., 1].T * iw
-        cl, st, en, gl, gc, _ = _build_lists(
+        cl, st, en, gl, gc, _, _ = _build_lists(
             sx, sy, w, p, H=res[0], W=res[1], max_span=8)
         cl0, st0, en0 = sort_oracle(sx, sy, w)
         np.testing.assert_array_equal(np.asarray(st), np.asarray(st0))
@@ -594,7 +594,7 @@ def test_overflow_counters_surface():
     *_, counters = render_pixels_deferred(
         clip, attr, topo, (32, 256), interpret=True, with_aa=False,
         with_counters=True)
-    assert counters.shape == (2, 2)
+    assert counters.shape == (2, 3)
     assert int(np.asarray(counters).sum()) == 0
 
     # starved pair budget: a denser sphere has enough live (tile, chunk)
@@ -774,3 +774,61 @@ def test_tiled_layout_grads_match_image():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ga0), np.asarray(ga1),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_winner_cap_overflow_retention():
+    """Degraded-mode retention policy under winner-cap overflow (ADVICE
+    r3): the in-kernel compaction keeps the FIRST wcap winning chunks in
+    pair-list order — chunk-ascending for main-list (non-global) chunks —
+    overflow pixels render as background, and the overflow is counted in
+    counters[:, 1]."""
+    from fmhr_tpu.raster.deferred import TILE_H, TILE_W, _CHUNK, _round_up
+
+    clip, faces, attr = sphere_scene(n_views=1, res=(32, 256), n_sub=5)
+    V = attr.shape[0]
+    topo = DeferredTopology.build(np.asarray(faces), V)
+    res = (32, 256)
+    wcap = 8
+
+    rast_ref, feat_ref, _ = render_pixels_deferred(
+        clip, attr, topo, res, interpret=True, with_aa=False)
+    rast_c, feat_c, _, counters = render_pixels_deferred(
+        clip, attr, topo, res, winner_cap=wcap, interpret=True,
+        with_aa=False, with_counters=True)
+
+    ids_ref = np.asarray(rast_ref[..., 3]).astype(np.int64)
+    ids_c = np.asarray(rast_c[..., 3]).astype(np.int64)
+    B, H, W = ids_ref.shape
+    Hp, Wp = _round_up(H, TILE_H), _round_up(W, TILE_W)
+    pad = np.zeros((B, Hp, Wp), np.int64)
+    pad[:, :H, :W] = ids_ref
+    tiles = pad.reshape(B, Hp // TILE_H, TILE_H, Wp // TILE_W, TILE_W)
+    tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(B, -1, TILE_H * TILE_W)
+    chunk = np.where(tiles > 0, (tiles - 1) // _CHUNK, -1)
+
+    total_overflow = 0
+    keep_mask = np.zeros_like(pad, bool)
+    ty_n, tx_n = Hp // TILE_H, Wp // TILE_W
+    for b in range(B):
+        for t in range(tiles.shape[1]):
+            winners = np.unique(chunk[b, t][chunk[b, t] >= 0])
+            total_overflow += max(0, len(winners) - wcap)
+            kept = set(winners[:wcap].tolist())   # ascending retention
+            ty, tx = t // tx_n, t % tx_n
+            blk = chunk[b, t].reshape(TILE_H, TILE_W)
+            keep_mask[b, ty * TILE_H:(ty + 1) * TILE_H,
+                      tx * TILE_W:(tx + 1) * TILE_W] = np.isin(
+                          blk, list(kept)) & (blk >= 0)
+    keep_mask = keep_mask[:, :H, :W]
+
+    counters = np.asarray(counters)
+    assert total_overflow > 0, "scene failed to overflow the winner cap"
+    assert counters[:, 1].sum() == total_overflow
+    # kept pixels bit-match the healthy render; dropped = background
+    np.testing.assert_array_equal(ids_c[keep_mask], ids_ref[keep_mask])
+    np.testing.assert_array_equal(
+        ids_c[~keep_mask], np.zeros_like(ids_c[~keep_mask]))
+    np.testing.assert_allclose(
+        np.asarray(feat_c)[keep_mask], np.asarray(feat_ref)[keep_mask],
+        atol=1e-6, rtol=1e-6)
+    assert np.all(np.asarray(feat_c)[~keep_mask] == 0.0)
