@@ -25,7 +25,10 @@ from ._common import platform_arg, apply_platform
 def main(data_path: str, scan_id: int = 1, num: int = 16,
          mano_left: str | None = None, mano_right: str | None = None,
          res_scale: float = 0.25, fast: bool = True,
-         skip_nr: bool = False) -> dict:
+         skip_nr: bool = False, holdout: int = 2,
+         nr_epochs: int | None = None) -> dict:
+    import json
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -33,9 +36,11 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
     from ..body.synthetic import synthetic_hand_model
     from ..data import load_demo_views, load_demo_keypoints2d
     from ..optim import triangulate_keypoints, fit_mano_two_hands
-    from ..optim.ham import HamConfig, run_ham
+    from ..optim.ham import (HamConfig, run_ham, rerender_ham,
+                             mesh_quality_stats)
     from ..core.subdivision import loop_subdivide_iter
     from ..utils.artifacts import save_keypoints3d, save_mano_out, save_ham_out
+    from ..utils.metrics import psnr, psnr_reference, ssim
     from ..utils.obj_io import save_obj
 
     out_path = data_path.rstrip("/").split("/")[-1].replace("data", "out")
@@ -104,32 +109,134 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
           f"stage B {lb[0]:.4f} -> {lb[-1]:.4f}")
 
     results = {
+        "resolution": [W, H],
         "triangulation": (float(tri_losses[0]), float(tri_losses[-1])),
         "fit": (float(fit_losses[0]), float(fit_losses[-1])),
         "ham_a": (float(la[0]), float(la[-1])),
         "ham_b": (float(lb[0]), float(lb[-1])),
     }
 
+    # ---- HAM quality report (VERDICT r3 #2) --------------------------------
+    # Rerender the optimized model on the capture's cameras — the
+    # reference writes these pngs at `mesh_sfs_optim.py:326-343`; here
+    # they are also scored vs the captured images inside the data mask
+    # (standard PSNR/SSIM plus the reference's 28*log10 formula,
+    # `/root/reference/neural_render.py:36-39`).
+    import cv2
+
+    rr_imgs, rr_masks = rerender_ham(
+        np.asarray(out["vertices"]), ham_faces, np.asarray(out["albedo"]),
+        np.asarray(out["sh_coeffs"]), views.w2cs, views.projs, (H, W))
+    os.makedirs(join(ham_dir, "rerender"), exist_ok=True)
+    ps, rps, ss = [], [], []
+    for k in range(num):
+        m = (views.masks[k] > 0).astype(np.float32) * rr_masks[k]
+        gt = views.imgs[k] * m[..., None]
+        pr = np.clip(rr_imgs[k], 0.0, 1.0) * m[..., None]
+        ps.append(psnr(gt, pr))
+        rps.append(psnr_reference(gt, pr, m[..., None]))
+        ss.append(ssim(gt, pr))
+        cv2.imwrite(join(ham_dir, "rerender", f"ham_{scan_id}_{k:02d}.png"),
+                    (pr * 255).clip(0, 255).astype(np.uint8))
+    results["ham_rerender"] = {
+        "psnr": float(np.mean(ps)), "ref_psnr": float(np.mean(rps)),
+        "ssim": float(np.mean(ss)),
+    }
+    results["mesh_stats"] = mesh_quality_stats(
+        ham_verts, np.asarray(out["vertices"]), ham_faces)
+    hr = results["ham_rerender"]
+    ms = results["mesh_stats"]
+    print(f"[3/4] HAM rerender: PSNR {hr['psnr']:.3f} dB | "
+          f"refPSNR {hr['ref_psnr']:.3f} | SSIM {hr['ssim']:.4f}")
+    print(f"[3/4] mesh: disp mean {ms['disp_mean']:.5f} p95 "
+          f"{ms['disp_p95']:.5f} | edge mean {ms['edges_before']['mean']:.5f}"
+          f" -> {ms['edges_after']['mean']:.5f} | lap "
+          f"{ms['lap_before']:.5f} -> {ms['lap_after']:.5f}")
+
     # ---- stage 4: neural renderer ----------------------------------------
     if not skip_nr:
-        from ..optim.neural import train_neural_renderer
-        from ..utils.metrics import psnr, ssim
+        import jax
+
+        from ..optim.neural import train_neural_renderer, neural_forward
 
         views_r = load_demo_views(data_path, scan_id, num=num, res=(W, H),
                                   with_mask=False, return_ray=True)
         imgs_rgb = views_r.imgs[..., ::-1]
-        state, l1, l2, _ = train_neural_renderer(
-            imgs_rgb, views_r.masks, views_r.rays, views_r.w2cs, views_r.projs,
+        # genuinely novel-view eval: hold out the last `holdout` cameras
+        # from training (the reference trains AND evaluates on all 16;
+        # the held-out split is the honest quality-parity number —
+        # VERDICT r3 #2)
+        hold_idx = list(range(num - holdout, num)) if holdout else []
+        train_idx = [k for k in range(num) if k not in hold_idx]
+        ti = np.asarray(train_idx)
+        epochs = (nr_epochs if nr_epochs is not None
+                  else (4 if fast else 200))
+        state, l1, l2, (net, net_g, pe) = train_neural_renderer(
+            imgs_rgb[ti], views_r.masks[ti], views_r.rays[ti],
+            views_r.w2cs[ti], views_r.projs[ti],
             np.asarray(out["vertices"]), ham_faces,
             np.asarray(out["albedo"]),
-            num_epochs=4 if fast else 200, batch=2,
+            num_epochs=epochs, batch=2,
             mlp_width=64 if fast else 256, mlp_depth=4 if fast else 8,
         )
         print(f"[4/4] neural renderer: phase1 {l1[0]:.4f} -> {l1[-1]:.4f}; "
               f"phase2 {l2[0]:.4f} -> {l2[-1]:.4f}")
         results["nr"] = (float(l1[0]), float(l1[-1]))
 
-    print("[pipeline] artifacts under", out_path)
+        from ..raster.deferred import audit_deferred_rows
+        from ..optim.ham import project_verts as _pv
+
+        _, _rb = audit_deferred_rows(
+            _pv(state.vertices, jnp.asarray(views_r.w2cs),
+                jnp.asarray(views_r.projs)), jnp.asarray(ham_faces), (H, W))
+        raster_kw = {"rows_budget": _rb}
+        faces_j = jnp.asarray(ham_faces)
+
+        @jax.jit
+        def render_one(ray, w2c, proj, rng):
+            return neural_forward(
+                lambda p, x: net.apply(p, x), state.net_params, pe,
+                ray, w2c, proj, state.vertices, faces_j, state.albedo,
+                state.vertex_feat, (H, W), rng, raster_kw=raster_kw,
+            )
+
+        def eval_subset(idx, tag):
+            rng = jax.random.PRNGKey(0)
+            ps, rps, ss = [], [], []
+            for k in idx:
+                rng, sub = jax.random.split(rng)
+                pred, masks_p = render_one(
+                    jnp.asarray(views_r.rays[k:k + 1]),
+                    jnp.asarray(views_r.w2cs[k:k + 1]),
+                    jnp.asarray(views_r.projs[k:k + 1]), sub)
+                pr = np.asarray(pred[0] * masks_p[0])
+                m = np.asarray(masks_p[0])
+                gt = imgs_rgb[k] * m
+                ps.append(psnr(gt, pr))
+                rps.append(psnr_reference(gt, pr, m))
+                ss.append(ssim(gt, pr))
+                cv2.imwrite(
+                    join(ham_dir, "rerender", f"nr_{tag}_{k:02d}.png"),
+                    (pr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+            return {"psnr": float(np.mean(ps)),
+                    "ref_psnr": float(np.mean(rps)),
+                    "ssim": float(np.mean(ss))}
+
+        results["nr_train_views"] = eval_subset(train_idx, "train")
+        tv = results["nr_train_views"]
+        print(f"[4/4] NR train-view: PSNR {tv['psnr']:.3f} dB | "
+              f"refPSNR {tv['ref_psnr']:.3f} | SSIM {tv['ssim']:.4f}")
+        if hold_idx:
+            results["nr_novel_views"] = eval_subset(hold_idx, "novel")
+            nv = results["nr_novel_views"]
+            print(f"[4/4] NR NOVEL-view ({len(hold_idx)} held-out cams): "
+                  f"PSNR {nv['psnr']:.3f} dB | refPSNR {nv['ref_psnr']:.3f}"
+                  f" | SSIM {nv['ssim']:.4f}")
+
+    qpath = join(out_path, f"quality_{scan_id}.json")
+    with open(qpath, "w") as f:
+        json.dump(results, f, indent=1)
+    print("[pipeline] artifacts under", out_path, "| quality ->", qpath)
     return results
 
 
@@ -140,11 +247,21 @@ if __name__ == "__main__":
     ap.add_argument("--num", type=int, default=16)
     ap.add_argument("--mano_left", default=None)
     ap.add_argument("--mano_right", default=None)
-    ap.add_argument("--res_scale", type=float, default=0.25)
-    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--res_scale", type=float, default=0.25,
+                    help="1.0 = the reference's full 1280x1024 flagship "
+                         "resolution (conf/demo_sfs.conf)")
+    ap.add_argument("--fast", action="store_true",
+                    help="toy epoch counts for smoke runs; omit for the "
+                         "reference budgets (150+300 HAM, 200 NR epochs)")
     ap.add_argument("--skip_nr", action="store_true")
+    ap.add_argument("--holdout", type=int, default=2,
+                    help="cameras held out of NR training for the "
+                         "novel-view quality numbers (0 disables)")
+    ap.add_argument("--nr_epochs", type=int, default=None,
+                    help="override NR epochs (HAM keeps its budget)")
     platform_arg(ap)
     args = ap.parse_args()
     apply_platform(args)
     main(args.data_path, args.scan_id, args.num, args.mano_left,
-         args.mano_right, args.res_scale, args.fast, args.skip_nr)
+         args.mano_right, args.res_scale, args.fast, args.skip_nr,
+         args.holdout, args.nr_epochs)

@@ -5,16 +5,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def ring_cameras(n: int, radius: float = 3.0, res=64):
+def ring_cameras(n: int, radius: float = 3.0, res=64, focal_scale: float = 1.0):
     """n cameras on a ring looking at the origin.
 
     res: int (square) or (H, W). Returns (w2cs [n,4,4], projs [n,4,4])
     TRANSPOSED, in the reference clip convention (w = view depth,
-    z = -0.1).
+    z = -0.1). focal_scale multiplies the default focal length (zoom).
     """
     h, w = (res, res) if isinstance(res, int) else res
     w2cs, projs = [], []
-    f = min(h, w) * 1.2  # focal length in pixels
+    f = min(h, w) * 1.2 * focal_scale  # focal length in pixels
     for i in range(n):
         ang = 2 * np.pi * i / n
         eye = np.array([radius * np.cos(ang), 0.4, radius * np.sin(ang)])
@@ -36,7 +36,8 @@ def ring_cameras(n: int, radius: float = 3.0, res=64):
 
 
 def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
-               two_hands: bool = False, base_refine: int = 0):
+               two_hands: bool = False, base_refine: int = 0,
+               fill: float | None = None):
     """Synthetic hand mesh + ring cameras; returns (verts, faces, w2cs, projs).
 
     res: int (square) or (H, W). two_hands mirrors the mesh into a fused
@@ -47,6 +48,14 @@ def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
     (`/root/reference/mesh_sfs_optim.py:82` subdivides MANO x3 to the
     production ~98.4k faces; base_refine=1, subdiv=3 reproduces that
     density here).
+
+    fill: target silhouette coverage as a FRACTION OF FRAME AREA — the
+    cameras zoom so the rendered mask covers ~fill of the image. The
+    real demo capture frames its two hands at 5.6-7.5% mask coverage
+    (`/root/reference/demo_data/1/mask/*.png` at 1280x1024); the default
+    (None) keeps the legacy wide framing (~0.2-0.4% coverage) that
+    rounds <=3 benchmarked — a mostly-background frame that understates
+    covered-tile work (BASELINE.md round-4 note).
     """
     from ..body import synthetic_hand_model
     from ..core.subdivision import loop_subdivide_iter
@@ -69,5 +78,26 @@ def hand_scene(res=64, n_views: int = 8, subdiv: int = 0,
             [left - np.asarray([0.28, 0, 0], np.float32),
              verts + np.asarray([0.28, 0, 0], np.float32)])
         faces = np.concatenate([faces, faces + V])
-    w2cs, projs = ring_cameras(n_views, res=res)
+    focal_scale = 1.0
+    if fill is not None:
+        # Empirical zoom: measure the MEAN projected silhouette coverage
+        # at focal_scale=1 by rasterizing the (dense) vertex cloud onto
+        # the pixel grid (unique covered pixels ~= silhouette area at
+        # subdiv-3 vertex density), then scale the focal in closed form
+        # — coverage scales with focal^2 until the frame clips.
+        h, w = (res, res) if isinstance(res, int) else res
+        w2cs0, projs0 = ring_cameras(n_views, res=res)
+        ph = np.concatenate([verts, np.ones_like(verts[:, :1])], -1)
+        covs = []
+        for b in range(n_views):
+            clip = ph @ w2cs0[b] @ projs0[b]
+            zpos = clip[:, 3] > 1e-6
+            x = np.clip((clip[zpos, 0] / clip[zpos, 3] + 1) * (w / 2),
+                        0, w - 1).astype(np.int64)
+            y = np.clip((clip[zpos, 1] / clip[zpos, 3] + 1) * (h / 2),
+                        0, h - 1).astype(np.int64)
+            covs.append(len(np.unique(y * w + x)) / (h * w))
+        cov0 = max(float(np.mean(covs)), 1e-9)
+        focal_scale = float(np.sqrt(fill / cov0))
+    w2cs, projs = ring_cameras(n_views, res=res, focal_scale=focal_scale)
     return verts.astype(np.float32), faces.astype(np.int32), w2cs, projs

@@ -3,6 +3,7 @@ from .sharding import (
     shard_views,
     replicate,
     make_sharded_ham_step,
+    make_sharded_nr_step,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "shard_views",
     "replicate",
     "make_sharded_ham_step",
+    "make_sharded_nr_step",
 ]

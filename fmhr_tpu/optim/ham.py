@@ -282,6 +282,88 @@ def _is_memory_error(e: Exception) -> bool:
             or "Out of memory" in s or "out of memory" in s)
 
 
+def rerender_ham(vertices, faces, albedo, sh_coeffs, w2cs, projs, res,
+                 raster_kw: dict | None = None, view_chunk: int = 2):
+    """Re-render the optimized HAM model on the given cameras.
+
+    Mirrors the reference's end-of-run rerenders
+    (`/root/reference/mesh_sfs_optim.py:326-343`): shaded image =
+    SH radiance(per-view coeffs, interpolated normals) x interpolated
+    albedo, antialiased, zero outside coverage. Returns
+    (imgs [N, H, W, 3] np.float32, masks [N, H, W] np.float32).
+    Views render in chunks so full-resolution rerenders fit HBM.
+    """
+    vertices = jnp.asarray(vertices, jnp.float32)
+    albedo = jnp.asarray(albedo, jnp.float32)
+    sh_coeffs = jnp.asarray(sh_coeffs, jnp.float32)
+    faces_np = np.asarray(faces, np.int32)
+    faces = jnp.asarray(faces_np)
+    topo_aa = AATopology.build(faces_np, int(vertices.shape[0]))
+    raster_kw = raster_kw or {}
+    degree = int(round(math.sqrt(sh_coeffs.shape[-1])))
+    normals = vertex_normals(vertices, faces)
+
+    @jax.jit
+    def one(w2c, proj, sh):
+        rast, feat, aa_w = render_scene(
+            vertices, faces, w2c, proj,
+            jnp.concatenate([normals, albedo], -1),
+            res, aa_topology=topo_aa, **raster_kw,
+        )
+        pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
+        rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
+        rad = sh_radiance(sh[:, None, None, :], pred_normals, degree)
+        img = rad[..., None] * rast_albedo
+        mask = (rast[..., 3] > 0).astype(jnp.float32)
+        return img * mask[..., None], mask
+
+    N = w2cs.shape[0]
+    imgs_out, masks_out = [], []
+    for k in range(0, N, view_chunk):
+        sl = slice(k, min(N, k + view_chunk))
+        img, mask = one(jnp.asarray(w2cs[sl]), jnp.asarray(projs[sl]),
+                        sh_coeffs[sl])
+        imgs_out.append(np.asarray(img))
+        masks_out.append(np.asarray(mask))
+    return np.concatenate(imgs_out), np.concatenate(masks_out)
+
+
+def mesh_quality_stats(verts0, verts1, faces) -> dict:
+    """Geometry sanity statistics for the quality report (VERDICT r3 #2):
+    edge-length distribution before/after, displacement norms, uniform-
+    Laplacian residual norms. All plain floats."""
+    verts0 = np.asarray(verts0, np.float64)
+    verts1 = np.asarray(verts1, np.float64)
+    faces_np = np.asarray(faces, np.int64)
+
+    def edge_stats(v):
+        e = np.concatenate([faces_np[:, [0, 1]], faces_np[:, [1, 2]],
+                            faces_np[:, [2, 0]]])
+        el = np.linalg.norm(v[e[:, 0]] - v[e[:, 1]], axis=-1)
+        return dict(mean=float(el.mean()), std=float(el.std()),
+                    p99=float(np.percentile(el, 99)), max=float(el.max()))
+
+    topo = MeshTopology.build(np.asarray(faces, np.int32),
+                              verts0.shape[0])
+
+    def lap_norm(v):
+        lv = np.asarray(uniform_laplacian(
+            jnp.asarray(v, jnp.float32), jnp.asarray(topo.edges),
+            jnp.asarray(topo.degrees)))
+        return float(np.linalg.norm(lv, axis=-1).mean())
+
+    disp = np.linalg.norm(verts1 - verts0, axis=-1)
+    return {
+        "edges_before": edge_stats(verts0),
+        "edges_after": edge_stats(verts1),
+        "lap_before": lap_norm(verts0),
+        "lap_after": lap_norm(verts1),
+        "disp_mean": float(disp.mean()),
+        "disp_p95": float(np.percentile(disp, 95)),
+        "disp_max": float(disp.max()),
+    }
+
+
 def run_ham(
     imgs, grayimgs, masks, w2cs, projs, vertices, faces, cfg: HamConfig,
     checkpoint_dir: str | None = None,

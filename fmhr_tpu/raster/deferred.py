@@ -268,8 +268,13 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
     lossless = min(nc * max_span, T * nc)
     cap = lossless if pairs_budget is None else min(lossless,
                                                    int(pairs_budget))
-    # SMEM resident during the kernels: keep it a few KB.
-    pair_cap = _round_up(min(max(cap, _CHUNK), 8192), _CHUNK)
+    # SMEM-resident pair list. Cap probed on v5e hardware (round 4): a
+    # 512 KB SMEM input block compiles and runs, so 64 KB here is safe
+    # with wide margin; the realistic-framing 1280x1024 demo needs
+    # ~11.3k live pairs/view at the 8x32 tile. FMHR_PAIR_CAP overrides
+    # for A/B.
+    _cap_max = int(os.environ.get("FMHR_PAIR_CAP", "16384"))
+    pair_cap = _round_up(min(max(cap, _CHUNK), _cap_max), _CHUNK)
     if pair_cap < cap and not quiet:
         import warnings
         if pairs_budget is not None:
