@@ -621,6 +621,16 @@ def _make_passa_kernel(p):
             return jnp.where(ci < n_main, list_ref[0, 0, start + ci],
                              glob_ref[0, 0, jnp.maximum(ci - n_main, 0)])
 
+        # Empty (background) tiles skip the whole body — the final
+        # argmin/winner epilogue alone costs ~1 us/tile, and most tiles
+        # of a real capture are background (~90% at the demo framing;
+        # 98% at the legacy wide framing, where it WAS pass A's cost).
+        @pl.when(n_total == 0)
+        def _():
+            slot_ref[0, 0] = jnp.full((_PIX, 1), -1, jnp.int32)
+            wlist_ref[0, 0] = jnp.full((1, p["wcap"]), nc, jnp.int32)
+            wstat_ref[0, 0] = jnp.zeros((1, 8), jnp.int32)
+
         def body(tri_buf, sems):
             def dma(slot_i, ci):
                 k0 = pl.multiple_of(chunk_of(ci) * K, K)
@@ -721,11 +731,13 @@ def _make_passa_kernel(p):
                 st_iota == 0, jnp.minimum(cnt, wcap),
                 jnp.where(st_iota == 1, jnp.maximum(cnt - wcap, 0), 0))
 
-        pl.run_scoped(
-            body,
-            tri_buf=pltpu.VMEM((_PASSA_DEPTH, 16, K), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((_PASSA_DEPTH,)),
-        )
+        @pl.when(n_total > 0)
+        def _():
+            pl.run_scoped(
+                body,
+                tri_buf=pltpu.VMEM((_PASSA_DEPTH, 16, K), jnp.float32),
+                sems=pltpu.SemaphoreType.DMA((_PASSA_DEPTH,)),
+            )
 
     return kernel
 
@@ -928,6 +940,14 @@ def _make_passb_kernel(p, C):
         wcnt = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]                    # [P, 1]
 
+        # background tiles: zero output rows, skip the ~40-row-op
+        # shading math (the per-tile fixed cost of this pass)
+        @pl.when(wcnt == 0)
+        def _():
+            zero = jnp.zeros((1, _PIX), jnp.float32)
+            for r in range(p["rows_out"]):
+                pix_ref[0, 0, r:r + 1] = zero
+
         def body(tri_buf, sems):
             recm = _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col,
                                  dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems)
@@ -955,11 +975,13 @@ def _make_passb_kernel(p, C):
             for r in range(rows_used, rows_out):
                 pix_ref[0, 0, r:r + 1] = zero
 
-        pl.run_scoped(
-            body,
-            tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((2, 3)),
-        )
+        @pl.when(wcnt > 0)
+        def _():
+            pl.run_scoped(
+                body,
+                tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
+                sems=pltpu.SemaphoreType.DMA((2, 3)),
+            )
 
     return kernel
 
@@ -1089,77 +1111,81 @@ def _make_bwd_kernel(p, C):
         slot_col = slot_ref[0, 0]          # [P, 1] int32
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
 
-        # ---- re-extract winners' records, run the VJP
-        recm = _extract_loop(p, b, bs, n_iter, wlist_ref, slot_col,
-                             dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems_t)
-        px, py = _pix_ndc(p, t)
-        coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
-        zero = jnp.zeros((1, _PIX), jnp.float32)
-        # single-row stores only (Mosaic sublane-alignment rule); rows
-        # 12:24 (coord pad + id/eids) carry no gradient
-        for i, r in enumerate(coord_rows):
-            grec_scr[i:i + 1, :] = r
-        for i in range(12, 24):
-            grec_scr[i:i + 1, :] = zero
-        for k in range(3):
-            for c in range(C):
-                grec_scr[24 + k * C + c:25 + k * C + c, :] = \
-                    attr_rows[k][c:c + 1]
-        for i in range(24 + 3 * C, rec):
-            grec_scr[i:i + 1, :] = zero
-        grec = grec_scr[...]
-
-        # ---- accumulate into the face-table gradient (RMW)
-        def rd(sl, ci):
-            k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
-            return pltpu.make_async_copy(
-                gtab_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
-                sems_r.at[sl])
-
-        def wr(sl, ci):
-            k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
-            return pltpu.make_async_copy(
-                stage_out.at[sl], gtab_hbm.at[b, :, pl.ds(k0, K)],
-                sems_w.at[sl])
-
+        # background tiles contribute nothing: gtab is zero-initialised
+        # via aliasing and the RMW loop is empty, so skip the dense
+        # shading-VJP row math entirely (the per-tile fixed cost)
         @pl.when(n_iter > 0)
         def _():
+            # ---- re-extract winners' records, run the VJP
+            recm = _extract_loop(p, b, bs, n_iter, wlist_ref, slot_col,
+                                 dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems_t)
+            px, py = _pix_ndc(p, t)
+            coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
+            zero = jnp.zeros((1, _PIX), jnp.float32)
+            # single-row stores only (Mosaic sublane-alignment rule); rows
+            # 12:24 (coord pad + id/eids) carry no gradient
+            for i, r in enumerate(coord_rows):
+                grec_scr[i:i + 1, :] = r
+            for i in range(12, 24):
+                grec_scr[i:i + 1, :] = zero
+            for k in range(3):
+                for c in range(C):
+                    grec_scr[24 + k * C + c:25 + k * C + c, :] = \
+                        attr_rows[k][c:c + 1]
+            for i in range(24 + 3 * C, rec):
+                grec_scr[i:i + 1, :] = zero
+            grec = grec_scr[...]
+
+            # ---- accumulate into the face-table gradient (RMW)
+            def rd(sl, ci):
+                k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
+                return pltpu.make_async_copy(
+                    gtab_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
+                    sems_r.at[sl])
+
+            def wr(sl, ci):
+                k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
+                return pltpu.make_async_copy(
+                    stage_out.at[sl], gtab_hbm.at[b, :, pl.ds(k0, K)],
+                    sems_w.at[sl])
+
             rd(0, 0).start()
 
-        def loop(ci, _):
-            sl = jax.lax.rem(ci, 2)
+            def loop(ci, _):
+                sl = jax.lax.rem(ci, 2)
 
-            @pl.when(ci + 1 < n_iter)
-            def _():
-                rd(jax.lax.rem(ci + 1, 2), ci + 1).start()
+                @pl.when(ci + 1 < n_iter)
+                def _():
+                    rd(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
-            c = wlist_ref[0, 0, 0, ci]
-            onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
-            gc = jax.lax.dot_general(
-                grec, onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # bf16 quantizes grads
-            )  # [rec, K]
-            rd(sl, ci).wait()
-            # wait for the store that used this staging slot two iters ago
-            @pl.when(ci >= 2)
-            def _():
-                wr(sl, ci - 2).wait()
-            stage_out[sl] = stage_in[sl] + gc
-            wr(sl, ci).start()
-            return 0
+                c = wlist_ref[0, 0, 0, ci]
+                onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
+                gc = jax.lax.dot_general(
+                    grec, onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,  # bf16: grad quantize
+                )  # [rec, K]
+                rd(sl, ci).wait()
+                # wait for the store that used this staging slot two iters
+                # ago
+                @pl.when(ci >= 2)
+                def _():
+                    wr(sl, ci - 2).wait()
+                stage_out[sl] = stage_in[sl] + gc
+                wr(sl, ci).start()
+                return 0
 
-        jax.lax.fori_loop(0, n_iter, loop, 0)
+            jax.lax.fori_loop(0, n_iter, loop, 0)
 
-        # drain outstanding stores (the last two loop iterations') so the
-        # next grid step's reads observe them
-        for i in range(2):
-            ci = n_iter - 2 + i
+            # drain outstanding stores (the last two loop iterations') so
+            # the next grid step's reads observe them
+            for i in range(2):
+                ci = n_iter - 2 + i
 
-            @pl.when(ci >= 0)
-            def _(ci=ci):
-                wr(jax.lax.rem(ci, 2), ci).wait()
+                @pl.when(ci >= 0)
+                def _(ci=ci):
+                    wr(jax.lax.rem(ci, 2), ci).wait()
 
     return kernel
 
