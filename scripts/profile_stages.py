@@ -38,6 +38,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="ih", choices=sorted(PRESETS))
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--fill", type=float, default=0.06,
+                    help="silhouette coverage fraction (matches bench presets); 0 = legacy wide framing")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -59,7 +61,7 @@ def main():
     H, W, n_views, subdiv, two_hands, base_refine = PRESETS[args.preset]
     verts, faces, w2cs, projs = hand_scene(
         res=(H, W), n_views=n_views, subdiv=subdiv, two_hands=two_hands,
-        base_refine=base_refine)
+        base_refine=base_refine, fill=args.fill or None)
     V = verts.shape[0]
     F = int(faces.shape[0])
     topo = D.DeferredTopology.build(faces, V)
@@ -133,7 +135,7 @@ def main():
         iw = 1.0 / jnp.where(jnp.abs(w_rows) > D.W_EPS, w_rows, D.W_EPS)
         sx_rows = coords_t[:, 0:3] * iw
         sy_rows = coords_t[:, 3:6] * iw
-        chunk_list, starts, ends, g_list, g_cnt, _ = jax.vmap(
+        chunk_list, starts, ends, g_list, g_cnt, _, _ = jax.vmap(
             lambda sx, sy, w: D._build_lists(
                 sx, sy, w, p, H=H, W=W, max_span=max_span)
         )(sx_rows, sy_rows, w_rows)
