@@ -305,8 +305,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     params, state, losses = run_chain(params, state, imgs, masks)
-    jax.block_until_ready(losses)
+    # Force a host copy of the result INSIDE the timed region: on the
+    # tunneled backend block_until_ready alone has been observed to
+    # return before the execution actually completed (demo preset read
+    # 0.05 ms/step), so time to data-on-host and sanity-check it.
+    losses_np = np.asarray(jax.device_get(losses))
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(losses_np).all(), losses_np
 
     rays = n_views * H * W
     mrays = rays / dt / 1e6
@@ -346,6 +351,8 @@ def main() -> None:
             "step_ms": round(dt * 1e3, 3),
             "ham_steps_per_s": round(steps_per_s, 3),
             "view_microbatch": int(mb) if use_tiled else n_views,
+            "loss_first_last": [round(float(losses_np[0]), 4),
+                                round(float(losses_np[-1]), 4)],
             "fill": fill,
             "coverage": coverage,
             "overflow": overflow,
