@@ -26,7 +26,8 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
          mano_left: str | None = None, mano_right: str | None = None,
          res_scale: float = 0.25, fast: bool = True,
          skip_nr: bool = False, holdout: int = 2,
-         nr_epochs: int | None = None) -> dict:
+         nr_epochs: int | None = None, nr_batch: int = 2,
+         checkpoints: bool = False) -> dict:
     import json
 
     import numpy as np
@@ -96,9 +97,12 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
         mask_weight=1000.0, edge_weight=5e5, delta_weight=5e4,
         batch=4 if fast else 8, lr=1e-4, albedo_lr=0.005, sh_lr=0.005,
     )
-    out = run_ham(views.imgs, views.grayimgs, views.masks,
-                  views.w2cs, views.projs, ham_verts, ham_faces, cfg)
     ham_dir = join(out_path, "demo_sfs", str(scan_id))
+    out = run_ham(views.imgs, views.grayimgs, views.masks,
+                  views.w2cs, views.projs, ham_verts, ham_faces, cfg,
+                  checkpoint_dir=(join(os.path.abspath(ham_dir), "orbax_ham")
+                                  if checkpoints else None),
+                  checkpoint_every=25)
     save_obj(join(ham_dir, f"{scan_id}.obj"),
              np.asarray(out["vertices"]), ham_faces)
     save_obj(join(ham_dir, f"ori_{scan_id}.obj"), ham_verts, ham_faces)
@@ -176,8 +180,11 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
             views_r.w2cs[ti], views_r.projs[ti],
             np.asarray(out["vertices"]), ham_faces,
             np.asarray(out["albedo"]),
-            num_epochs=epochs, batch=2,
+            num_epochs=epochs, batch=nr_batch,
             mlp_width=64 if fast else 256, mlp_depth=4 if fast else 8,
+            checkpoint_dir=(join(os.path.abspath(ham_dir), "orbax_nr")
+                            if checkpoints else None),
+            checkpoint_every=20,
         )
         print(f"[4/4] neural renderer: phase1 {l1[0]:.4f} -> {l1[-1]:.4f}; "
               f"phase2 {l2[0]:.4f} -> {l2[-1]:.4f}")
@@ -259,9 +266,14 @@ if __name__ == "__main__":
                          "novel-view quality numbers (0 disables)")
     ap.add_argument("--nr_epochs", type=int, default=None,
                     help="override NR epochs (HAM keeps its budget)")
+    ap.add_argument("--nr_batch", type=int, default=2)
+    ap.add_argument("--checkpoints", action="store_true",
+                    help="orbax mid-stage snapshots: a crashed run "
+                         "resumes HAM stage B and both NR phases from "
+                         "the latest segment (re-run the same command)")
     platform_arg(ap)
     args = ap.parse_args()
     apply_platform(args)
     main(args.data_path, args.scan_id, args.num, args.mano_left,
          args.mano_right, args.res_scale, args.fast, args.skip_nr,
-         args.holdout, args.nr_epochs)
+         args.holdout, args.nr_epochs, args.nr_batch, args.checkpoints)
