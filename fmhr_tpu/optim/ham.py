@@ -460,8 +460,13 @@ def run_ham(
         den = jnp.maximum(jnp.sum(valid) * pred.shape[2], 1.0)
         return num / den
 
-    def stage_a_terms_tiled(albedo_p, sh_p, idx):
-        """(num, den) of the pooled masked L1 over the views `idx`."""
+    def stage_a_terms_tiled(albedo_p, sh_p, idx, data):
+        """(num, den) of the pooled masked L1 over the views `idx`.
+
+        `data` carries the image-sized tensors as jit ARGUMENTS — baking
+        them into the program as closure constants overflows the remote
+        compiler's request limit at full resolution (HTTP 413, 250+ MB
+        of pixels; same reason as bench.py)."""
         normals = vertex_normals(vertices, faces, incidence=slot_inc)
         tr = render_scene(
             vertices, faces, w2cs[idx], projs[idx],
@@ -472,15 +477,15 @@ def run_ham(
         pred_normals = safe_normalize(
             apply_antialias_tiled(feat[:, :, :3], aa_w), axis=2)
         rast_albedo = apply_antialias_tiled(feat[:, :, 3:6], aa_w)
-        valid = ((masks_t[idx] > 0) & (tr["ids"] > 0)).astype(jnp.float32)
+        valid = ((data["masks"][idx] > 0) & (tr["ids"] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals,
                           cfg.degree, axis=2)
         pred = rad[:, :, None] * rast_albedo
-        num = jnp.sum(jnp.abs(pred - imgs_t[idx]) * valid[:, :, None])
+        num = jnp.sum(jnp.abs(pred - data["imgs"][idx]) * valid[:, :, None])
         den = jnp.sum(valid) * 3.0
         return num, den
 
-    def stage_a_terms(albedo_p, sh_p, idx):
+    def stage_a_terms(albedo_p, sh_p, idx, data):
         w2c, proj = w2cs[idx], projs[idx]
         normals = vertex_normals(vertices, faces, incidence=slot_inc)
         rast, feat, aa_w = render_scene(
@@ -490,10 +495,10 @@ def run_ham(
         )
         pred_normals = safe_normalize(apply_antialias(feat[..., :3], aa_w))
         rast_albedo = apply_antialias(feat[..., 3:6], aa_w)
-        valid = ((masks[idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
+        valid = ((data["masks"][idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_p[idx][:, None, None, :], pred_normals, cfg.degree)
         pred = rad[..., None] * rast_albedo
-        num = jnp.sum(jnp.abs(pred - imgs[idx]) * valid[..., None])
+        num = jnp.sum(jnp.abs(pred - data["imgs"][idx]) * valid[..., None])
         den = jnp.sum(valid) * 3.0
         return num, den
 
@@ -504,14 +509,20 @@ def run_ham(
         {"albedo": "albedo", "sh": "sh"},
     )
 
+    # image-sized tensors travel as jit ARGUMENTS (HTTP-413 note above)
+    if use_tiled:
+        data_a = {"imgs": imgs_t, "masks": masks_t}
+    else:
+        data_a = {"imgs": imgs, "masks": masks}
+
     def make_run_stage_a(m: int):
         @jax.jit
-        def run_stage_a(albedo0, sh0):
+        def run_stage_a(albedo0, sh0, data):
             params = {"albedo": albedo0, "sh": sh0}
             state = opt_a.init(params)
 
             def loss_fn(pp, idx):
-                num, den = terms_a(pp["albedo"], pp["sh"], idx)
+                num, den = terms_a(pp["albedo"], pp["sh"], idx, data)
                 return cfg.sfs_weight * num / jnp.maximum(den, 1.0)
 
             def step(carry, idx):
@@ -525,7 +536,7 @@ def run_ham(
                         gn, num, den = acc
                         def f(pp):
                             num_c, den_c = terms_a(pp["albedo"], pp["sh"],
-                                                   idxm)
+                                                   idxm, data)
                             return num_c, den_c
                         num_c, vjp_fn, den_c = jax.vjp(f, p, has_aux=True)
                         (gn_c,) = vjp_fn(jnp.ones_like(num_c))
@@ -551,7 +562,7 @@ def run_ham(
     while True:
         try:
             albedo_n, sh_n, losses_a = make_run_stage_a(m_a)(
-                albedo, sh_coeffs)
+                albedo, sh_coeffs, data_a)
             albedo_n.block_until_ready()
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback only
@@ -586,13 +597,14 @@ def run_ham(
         return (cfg.lap_weight * norm_mean(lv[:, :3]),
                 albedo_w * norm_mean(lv[:, 3:]))
 
-    def stage_b_view_terms_tiled(delta_p, albedo_p, idx):
+    def stage_b_view_terms_tiled(delta_p, albedo_p, idx, data):
         """Per-view loss terms over the views `idx`: ((num, sse),
         (den, counters)) — the pooled photometric L1 numerator, the mask
         SSE, the gradient-free valid count x channels, and the capacity
         counters. The step combines them as sfs_w*num/den +
         mask_w*sse/(batch*H*W) (+ mesh terms), identically for the
-        unchunked and micro-batched paths."""
+        unchunked and micro-batched paths. `data` carries the image-sized
+        tensors as jit arguments (HTTP-413 note in stage A)."""
         verts = vertices + delta_p
         normals = vertex_normals(verts, faces, incidence=slot_inc)
         tr = render_scene(
@@ -609,19 +621,19 @@ def run_ham(
         pred_mask = (apply_antialias_tiled(feat[:, :, 6:7], aa_w)[:, :, 0]
                      * tr["grid"]["valid"])
 
-        valid = ((masks_t[idx] > 0) & (tr["ids"] > 0)).astype(jnp.float32)
+        valid = ((data["masks"][idx] > 0) & (tr["ids"] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_coeffs[idx][:, None, None, :], pred_normals,
                           cfg.degree, axis=2)
         pred = rad[:, :, None] * rast_albedo
         tmp_img = jnp.where(valid[:, :, None] > 0, pred, 0.0)
         tmp_img = apply_antialias_tiled(tmp_img, aa_w)
 
-        num = jnp.sum(jnp.abs(tmp_img - imgs_t[idx]) * valid[:, :, None])
+        num = jnp.sum(jnp.abs(tmp_img - data["imgs"][idx]) * valid[:, :, None])
         den = jnp.sum(valid) * 3.0
-        sse = jnp.sum((pred_mask - valid_masks_t[idx]) ** 2)
+        sse = jnp.sum((pred_mask - data["valid"][idx]) ** 2)
         return (num, sse), (den, tr["counters"].sum(0))
 
-    def stage_b_view_terms(delta_p, albedo_p, idx):
+    def stage_b_view_terms(delta_p, albedo_p, idx, data):
         verts = vertices + delta_p
         w2c, proj = w2cs[idx], projs[idx]
         normals = vertex_normals(verts, faces, incidence=slot_inc)
@@ -634,15 +646,15 @@ def run_ham(
         rast_albedo = feat[..., 3:6]
         pred_mask = apply_antialias(feat[..., 6:7], aa_w)[..., 0]
 
-        valid = ((masks[idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
+        valid = ((data["masks"][idx] > 0) & (rast[..., 3] > 0)).astype(jnp.float32)
         rad = sh_radiance(sh_coeffs[idx][:, None, None, :], pred_normals, cfg.degree)
         pred = rad[..., None] * rast_albedo
         tmp_img = jnp.where(valid[..., None] > 0, pred, 0.0)
         tmp_img = apply_antialias(tmp_img, aa_w)
 
-        num = jnp.sum(jnp.abs(tmp_img - imgs[idx]) * valid[..., None])
+        num = jnp.sum(jnp.abs(tmp_img - data["imgs"][idx]) * valid[..., None])
         den = jnp.sum(valid) * 3.0
-        sse = jnp.sum((pred_mask - valid_masks[idx]) ** 2)
+        sse = jnp.sum((pred_mask - data["valid"][idx]) ** 2)
         return (num, sse), (den, counters.sum(0))
 
     def stage_b_mesh_losses(delta_p, albedo_p, albedo_w):
@@ -669,7 +681,7 @@ def run_ham(
         npx = cfg.batch * px_total
 
         @jax.jit
-        def run_stage_b_segment(params, state, batch_seg, step_seg):
+        def run_stage_b_segment(params, state, batch_seg, step_seg, data):
             def step(carry, xs):
                 p, s = carry
                 idx, i = xs
@@ -680,7 +692,7 @@ def run_ham(
                 mesh_fn = lambda pp: stage_b_mesh_losses(
                     pp["delta"], pp["albedo"], albedo_w)
                 view_fn = lambda pp, ix: terms_b(pp["delta"], pp["albedo"],
-                                                 ix)
+                                                 ix, data)
                 mesh_loss, g_mesh = jax.value_and_grad(mesh_fn)(p)
                 if m >= cfg.batch:
                     # single-chunk fast path: one fused value_and_grad of
@@ -714,6 +726,10 @@ def run_ham(
 
         return run_stage_b_segment
 
+    if use_tiled:
+        data_b = {"imgs": imgs_t, "masks": masks_t, "valid": valid_masks_t}
+    else:
+        data_b = {"imgs": imgs, "masks": masks, "valid": valid_masks}
     params_b = {"delta": delta0, "albedo": albedo}
     state_b = opt_b.init(params_b)
     total_steps = batches_b.shape[0]
@@ -738,7 +754,8 @@ def run_ham(
         end = min(total_steps, k + seg_len)
         try:
             params_b, state_b, losses_seg, counters_seg = runner_b(
-                params_b, state_b, batches_b[k:end], steps_all[k:end]
+                params_b, state_b, batches_b[k:end], steps_all[k:end],
+                data_b
             )
             jax.block_until_ready(losses_seg)
         except Exception as e:  # noqa: BLE001 — OOM fallback only

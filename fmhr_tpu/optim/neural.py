@@ -254,12 +254,18 @@ def train_neural_renderer(
         project_verts(vertices, w2cs, projs), faces_np, (H, W))
     raster_kw = {"rows_budget": _rows_budget}
 
-    def render(net_p, vf, verts, alb, idx, rng, if_geo=False, geo_p=None,
-               img_z=None, with_counters=False):
+    # Image-sized tensors (imgs/rays/masks, ~500 MB at the full-res demo)
+    # travel as jit ARGUMENTS through `data` — baking them into the
+    # program as closure constants overflows the remote compiler's
+    # request-size limit (HTTP 413; same fix as optim/ham.py).
+    data = {"imgs": imgs, "masks": gt_masks, "rays": rays}
+
+    def render(net_p, vf, verts, alb, idx, rng, data, if_geo=False,
+               geo_p=None, img_z=None, with_counters=False):
         f = apply_net(net_g) if if_geo else apply_net(net)
         return neural_forward(
             f, geo_p if if_geo else net_p, pe,
-            rays[idx], w2cs[idx], projs[idx],
+            data["rays"][idx], w2cs[idx], projs[idx],
             verts, faces, alb,
             img_z if if_geo else vf,
             (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
@@ -269,6 +275,8 @@ def train_neural_renderer(
 
     def segmented_scan(run_seg, params, state, key, batches, steps_pe,
                        subdir, empty=None):
+        # (data rides via closure over the OUTER python var but is passed
+        # to the jitted run_seg as an argument below)
         """Drive a jitted scan segment-by-segment with orbax snapshots.
 
         run_seg: (params, state, key, batch_seg) -> (params, state, key,
@@ -297,7 +305,7 @@ def train_neural_renderer(
         while k < total:
             end = min(total, k + seg_len)
             params, state, key, losses = run_seg(
-                params, state, key, batches[k:end])
+                params, state, key, batches[k:end], data)
             chunks.append(losses)
             k = end
             if cdir is not None:
@@ -316,11 +324,13 @@ def train_neural_renderer(
     opt1 = optax.adam(1e-4)
 
     @jax.jit
-    def run_phase1_seg(params, state, key, batch_seg):
+    def run_phase1_seg(params, state, key, batch_seg, data):
         def loss_fn(p, idx, rng):
-            pred, masks = render(p["net"], p["vf"], vertices, albedo, idx, rng)
-            valid = ((masks[..., 0] > 0) & (gt_masks[idx] > 0)).astype(jnp.float32)
-            h = optax.huber_loss(pred, imgs[idx], delta=1.0)
+            pred, masks = render(p["net"], p["vf"], vertices, albedo, idx,
+                                 rng, data)
+            valid = ((masks[..., 0] > 0)
+                     & (data["masks"][idx] > 0)).astype(jnp.float32)
+            h = optax.huber_loss(pred, data["imgs"][idx], delta=1.0)
             num = jnp.sum(h * valid[..., None])
             den = jnp.maximum(jnp.sum(valid) * 3, 1.0)
             return 100.0 * num / den
@@ -356,25 +366,26 @@ def train_neural_renderer(
     )
 
     @jax.jit
-    def run_phase2_seg(params, state, key, batch_seg):
+    def run_phase2_seg(params, state, key, batch_seg, data):
         def loss_fn(p, idx, rng):
             r1, r2 = jax.random.split(rng)
             render_z, masks, counters = render(
-                p["net"], p["vf"], p["verts"], p["albedo"], idx, r1,
+                p["net"], p["vf"], p["verts"], p["albedo"], idx, r1, data,
                 with_counters=True)
             pred, masks = render(
-                None, None, p["verts"], p["albedo"], idx, r2,
+                None, None, p["verts"], p["albedo"], idx, r2, data,
                 if_geo=True, geo_p=p["net_g"],
                 img_z=jax.lax.stop_gradient(render_z),
             )
-            valid = ((masks[..., 0] > 0) & (gt_masks[idx] > 0)).astype(jnp.float32)
+            valid = ((masks[..., 0] > 0)
+                     & (data["masks"][idx] > 0)).astype(jnp.float32)
 
             def ml1(a, b):
                 num = jnp.sum(jnp.abs(a - b) * valid[..., None])
                 return num / jnp.maximum(jnp.sum(valid) * 3, 1.0)
 
-            img_loss = ml1(pred, imgs[idx])
-            imgz_loss = ml1(render_z, imgs[idx])
+            img_loss = ml1(pred, data["imgs"][idx])
+            imgz_loss = ml1(render_z, data["imgs"][idx])
             lap = 100.0 * laplacian_smoothing(
                 p["verts"], edges, degrees,
                 nbr_incidence=topo.nbr_incidence)

@@ -238,3 +238,39 @@ def test_deferred_sharded_matches_single():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_nr_step_matches_single_device():
+    """make_sharded_nr_step (neural-renderer phase 1 over the views mesh)
+    computes the same loss and parameter update as an unsharded mesh of
+    one device running the identical step."""
+    from fmhr_tpu.dist import make_sharded_nr_step
+
+    res, n_views = 32, 8
+    verts, faces, w2cs, projs = hand_scene(res=res, n_views=n_views)
+    rng = np.random.default_rng(1)
+    imgs = rng.random((n_views, res, res, 3)).astype(np.float32)
+    masks = (rng.random((n_views, res, res)) > 0.3).astype(np.float32)
+    rays = rng.random((n_views, res, res, 3)).astype(np.float32)
+    albedo = np.full_like(verts, 0.5)
+    batch_np = {"imgs": imgs, "masks": masks, "rays": rays,
+                "w2cs": w2cs, "projs": projs}
+    key = jax.random.PRNGKey(3)
+
+    def run(mesh):
+        init_fn, step, shardings = make_sharded_nr_step(
+            mesh, verts, faces, albedo, (res, res))
+        batch = {k: jax.device_put(jnp.asarray(v), shardings[k])
+                 for k, v in batch_np.items()}
+        params, state = init_fn()
+        params, state, loss = step(params, state, batch, key)
+        return params, float(loss)
+
+    p1, l1 = run(make_render_mesh(1, 1, devices=jax.devices()[:1]))
+    p8, l8 = run(make_render_mesh(4, 2, devices=jax.devices()[:8]))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+        p1, p8)
