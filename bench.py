@@ -131,9 +131,17 @@ def main() -> None:
     opt = optax.adam(1e-4)
 
     # auto-size the deferred record budget once at setup (static after)
-    from fmhr_tpu.raster.deferred import audit_deferred_rows
+    from fmhr_tpu.raster.deferred import (audit_deferred_rows,
+                                          audit_active_tiles)
     live_pairs, rows_budget = audit_deferred_rows(
         project_verts(verts0, w2cs, projs), faces_j, (H, W))
+    # active-tile grid compaction (audited per-view tile lists; the
+    # kernels skip background tiles' grid steps, bit-identically).
+    # FMHR_TILES_COMPACT=0 restores the dense grid for A/B.
+    tiles_budget = None
+    if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
+        _, tiles_budget = audit_active_tiles(
+            project_verts(verts0, w2cs, projs), faces_j, (H, W))
 
     # FMHR_AA_BUDGET=audit switches the AA pass to the compact-pair path,
     # sized 2x from a concrete render of the start mesh (bit-identical to
@@ -186,7 +194,7 @@ def main() -> None:
             jnp.concatenate(
                 [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
-            layout="tiled",
+            tiles_budget=tiles_budget, layout="tiled",
         )
         feat, aa_w = tr["feat"], tr["aa"]
         nrm = safe_normalize(feat[:, :, :3], axis=2)
@@ -239,7 +247,7 @@ def main() -> None:
             v, faces_j, w2cs, projs,
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
-            aa_budget=aa_budget,
+            tiles_budget=tiles_budget, aa_budget=aa_budget,
             **({"impl": args.impl} if args.impl else {}),
         )
         nrm = safe_normalize(feat[..., :3])
@@ -325,7 +333,8 @@ def main() -> None:
         tr = render_scene(
             verts0 + params["delta"], faces_j, w2cs, projs,
             jnp.ones((V, 7), jnp.float32), (H, W), aa_topology=None,
-            rows_budget=rows_budget, layout="tiled")
+            rows_budget=rows_budget, tiles_budget=tiles_budget,
+            layout="tiled")
         overflow = np.asarray(tr["counters"]).sum(0).tolist()
         cov_ids = np.asarray(tr["ids"] > 0)
         valid_np = np.asarray(tr["grid"]["valid"])
@@ -367,6 +376,7 @@ def main() -> None:
             verts0 + params["delta"], faces_j, w2cs, projs,
             jnp.ones((V, 7), jnp.float32),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            tiles_budget=tiles_budget,
         )
         from fmhr_tpu.raster.deferred import TILE_H, TILE_W
         ids = np.asarray(rast[..., 3]).astype(np.int64)

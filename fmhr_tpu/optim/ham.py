@@ -414,16 +414,29 @@ def run_ham(
     # Note: faces stay in subdivision order — its contiguous 4^k child
     # patches bin TIGHTER than Morton/Hilbert centroid orders at
     # subpixel density (measured 16.0k vs 21.3k/21.0k pairs at ih).
-    from ..raster.deferred import audit_deferred_rows
+    from ..raster.deferred import audit_deferred_rows, audit_active_tiles
 
     clip0 = project_verts(vertices, w2cs, projs)
     _, rows_budget = audit_deferred_rows(clip0, faces_np, res)
     raster_kw["rows_budget"] = rows_budget
+    # active-tile grid compaction: at a real capture's ~5-7% coverage
+    # most (view, tile) kernel grid steps are background fixed overhead;
+    # the audited tile list removes them exactly (bit-identical,
+    # tests/test_deferred.py::test_tiles_budget_matches_dense).
+    # FMHR_TILES_COMPACT=0 restores the dense grid for A/B.
+    if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
+        _, tiles_budget = audit_active_tiles(clip0, faces_np, res)
+        raster_kw["tiles_budget"] = tiles_budget
 
     sh_coeffs, albedo, valid_masks = sh_init(
         grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,
         raster_kw=raster_kw,
     )
+    if os.environ.get("FMHR_HAM_SYNC"):
+        # debug sync point: dispatch is async, so without this a device
+        # fault in sh_init surfaces at the NEXT materialization (stage A)
+        jax.block_until_ready((sh_coeffs, albedo, valid_masks))
+        print("[ham] sh_init done", flush=True)
     delta0 = jnp.zeros_like(vertices)
     if warm_start:
         if warm_start.get("albedo") is not None:
@@ -578,6 +591,8 @@ def run_ham(
                 f"{m_a}; retrying with {m_new}.", stacklevel=2)
             m_a = m_new
     albedo, sh_coeffs = albedo_n, sh_n
+    if os.environ.get("FMHR_HAM_SYNC"):
+        print("[ham] stage A done", flush=True)
 
     # ---------------- Stage B: delta + albedo ------------------------------
     def _joint_laplacians(verts, albedo_p, albedo_w):

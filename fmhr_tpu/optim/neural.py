@@ -249,10 +249,15 @@ def train_neural_renderer(
     # ALL views (coverage is stable through training; audit has 1.3x
     # margin) — without this the renderer would run on the implicit
     # default cap, which can silently drop chunks on dense scenes.
-    from ..raster.deferred import audit_deferred_rows
-    _, _rows_budget = audit_deferred_rows(
-        project_verts(vertices, w2cs, projs), faces_np, (H, W))
+    from ..raster.deferred import audit_deferred_rows, audit_active_tiles
+    _clip0 = project_verts(vertices, w2cs, projs)
+    _, _rows_budget = audit_deferred_rows(_clip0, faces_np, (H, W))
     raster_kw = {"rows_budget": _rows_budget}
+    # active-tile grid compaction (see optim/ham.py): audited per-view
+    # tile lists drop the background grid steps, bit-identically.
+    if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
+        _, _tiles_budget = audit_active_tiles(_clip0, faces_np, (H, W))
+        raster_kw["tiles_budget"] = _tiles_budget
 
     # Image-sized tensors (imgs/rays/masks, ~500 MB at the full-res demo)
     # travel as jit ARGUMENTS through `data` — baking them into the

@@ -271,6 +271,7 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     verts, mats, attr, topo_d, resolution,
                     max_span=kw.get("max_span"),
                     rows_budget=kw.get("rows_budget"),
+                    tiles_budget=kw.get("tiles_budget"),
                     with_aa=aa_topology is not None,
                     aa_budget=kw.get("aa_budget"),
                     mesh=kw.get("mesh"),
@@ -288,6 +289,7 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
     with_counters = kw.pop("with_counters", False)
     kw.pop("layout", None)       # image-layout only on the XLA paths
     kw.pop("winner_cap", None)   # deferred-path concept
+    kw.pop("tiles_budget", None)  # deferred-path concept
     out = render_pixels(clip, attr, faces, resolution, impl=impl,
                         aa_topology=aa_topology, **kw)
     if with_counters:

@@ -233,7 +233,7 @@ def default_max_span(F: int, H: int, W: int) -> int:
 
 
 def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
-          winner_cap=128, quiet=False):
+          winner_cap=128, quiet=False, tiles_budget=None):
     """Static layout plan shared by the passes.
 
     The pass-A work lists are COMPACT (tile, chunk) pairs sorted by tile
@@ -247,6 +247,15 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
     tile that exceeds it renders its overflow pixels as background
     (fail-visible, not silently wrong — and ~8x headroom vs measured
     production tiles).
+    tiles_budget (audit with `audit_active_tiles`) switches all three
+    kernels to the ACTIVE-TILE grid: the grid's tile axis runs over a
+    scalar-prefetched per-view list of tiles whose chunk bboxes are
+    non-empty instead of all T tiles. At a real capture's ~5-7% frame
+    coverage most (view, tile) grid steps are background whose only cost
+    is the per-step grid/DMA fixed overhead — the compacted grid removes
+    them exactly (bbox-inactive tiles are provably background). Active
+    tiles beyond the budget are dropped (their pairs counted in counter
+    col 0 — fail-visible, like pair_cap).
     """
     tiles_y = math.ceil(H / TILE_H)
     tiles_x = math.ceil(W / TILE_W)
@@ -293,9 +302,12 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
                 "representative view and pass rows_budget.", stacklevel=3)
     g_pad = _round_up(global_cap, 8)
     wcap = min(_round_up(winner_cap, 8), _round_up(nc, 8))
+    ta_cap = None
+    if tiles_budget is not None:
+        ta_cap = int(min(max(int(tiles_budget), 1), T))
     return dict(tiles_y=tiles_y, tiles_x=tiles_x, T=T, r_used=r_used,
                 rec=rec, rec_a=rec_a, nc=nc, Fpad=Fpad, pair_cap=pair_cap,
-                g_cap=global_cap, g_pad=g_pad, wcap=wcap,
+                g_cap=global_cap, g_pad=g_pad, wcap=wcap, ta_cap=ta_cap,
                 rows_used=rows_used, rows_out=rows_out, H=H, W=W,
                 Hp=tiles_y * TILE_H, Wp=tiles_x * TILE_W)
 
@@ -571,7 +583,7 @@ def _coeff_table(coords_t, p, H, W):
 # Pass A: per-pixel winning face index (z-only visibility)
 # --------------------------------------------------------------------------
 
-def _make_passa_kernel(p):
+def _make_passa_kernel(p, compact=False):
     """[pixels, faces] = [1024, 128] block-vectorized visibility.
 
     Coefficient chunks arrive as [16, 128] VMEM blocks, grouped
@@ -580,13 +592,17 @@ def _make_passa_kernel(p):
     offset and chunk anchor (C + A·dx + B·dy, a [1, K] row op). Coverage
     + the per-lane winner update are ~7 more VPU ops; there is no
     cross-lane work until the final per-tile argmin.
+
+    `compact`: the grid's second axis indexes a scalar-prefetched
+    per-view ACTIVE-TILE list instead of all tiles; the real tile id
+    comes from the list (padding entries point at the dummy tile T,
+    whose meta row is zero -> the empty branch).
     """
     nc = p["nc"]
     tiles_x = p["tiles_x"]
     K = _CHUNK
 
-    def kernel(meta_ref, list_ref, glob_ref, anch_ref, taba_hbm, slot_ref,
-               wlist_ref, wstat_ref):
+    def kernel(*refs):
         # meta_ref [1,1,1,4] SMEM: start, end, g_count
         # list_ref [1, 1, pair_cap] SMEM int32; glob_ref [1, 1, g_pad] SMEM
         # anch_ref [1, 2, nc] SMEM f32: pixel-space chunk anchors
@@ -597,8 +613,17 @@ def _make_passa_kernel(p):
         # (pair-list order: main ascending, then globals; nc = empty)
         # wstat_ref [1,1,1,8] VMEM int32 out: lane 0 = winner count
         # (clamped to wcap), lane 1 = winner-cap overflow count
+        if compact:
+            (tlist_ref, meta_ref, list_ref, glob_ref, anch_ref, taba_hbm,
+             slot_ref, wlist_ref, wstat_ref) = refs
+        else:
+            (meta_ref, list_ref, glob_ref, anch_ref, taba_hbm,
+             slot_ref, wlist_ref, wstat_ref) = refs
         b = pl.program_id(0)
-        t = pl.program_id(1)
+        if compact:
+            t = tlist_ref[b, pl.program_id(1)]
+        else:
+            t = pl.program_id(1)
         ty = t // tiles_x
         tx = t % tiles_x
         pidx = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 1), 0)
@@ -915,7 +940,7 @@ def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
         0, wcnt, loop, jnp.zeros((p["rec"], _PIX), jnp.float32))
 
 
-def _make_passb_kernel(p, C):
+def _make_passb_kernel(p, C, compact=False):
     """Per-tile extraction + barycentrics + interpolation over DISTINCT
     winning chunks only.
 
@@ -925,17 +950,30 @@ def _make_passb_kernel(p, C):
     pixel-sized XLA tensors downstream. Output rows (`rows_used`):
     u v zw | sx0 sx1 sx2 sy0 sy1 sy2 | feat[C] | id eid0 eid1 eid2 wok.
     Background tiles (wcnt = 0) cost nothing.
+
+    `compact`: active-tile grid (see `_make_passa_kernel`); the
+    zero-filled pix buffer arrives aliased so never-visited (inactive)
+    tiles read as background downstream.
     """
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, dyn_hbm, ids_hbm, sta_hbm,
-               pix_ref):
+    def kernel(*refs):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] VMEM int32
         # dyn_hbm [B, 16, Fpad] / ids_hbm [1, 8, Fpad] /
         # sta_hbm [B_s, rec-24, Fpad] ANY
         # pix_ref [1,1,rows_out,P] VMEM f32
+        if compact:
+            (tlist_ref, wmeta_ref, wlist_ref, slot_ref, dyn_hbm, ids_hbm,
+             sta_hbm, init_ref, pix_ref) = refs
+            del init_ref          # aliased zero fill of pix (ANY space)
+        else:
+            (wmeta_ref, wlist_ref, slot_ref, dyn_hbm, ids_hbm,
+             sta_hbm, pix_ref) = refs
         b = pl.program_id(0)
-        t = pl.program_id(1)
+        if compact:
+            t = tlist_ref[b, pl.program_id(1)]
+        else:
+            t = pl.program_id(1)
         bs = jnp.minimum(b, sta_hbm.shape[0] - 1)
         wcnt = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]                    # [P, 1]
@@ -1078,7 +1116,7 @@ def _shade_vjp(recm, g, px, py, C):
     return rows, [ga0, ga1, ga2]
 
 
-def _make_bwd_kernel(p, C):
+def _make_bwd_kernel(p, C, compact=False):
     """Per-tile backward: re-extract the winners' records, run the
     hand-written shading VJP on [1, P] rows, then reduce the record
     gradients straight into face-table layout:
@@ -1095,17 +1133,26 @@ def _make_bwd_kernel(p, C):
     rec = p["rec"]
     K = _CHUNK
 
-    def kernel(wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
-               sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr, stage_in,
-               stage_out, sems_t, sems_r, sems_w):
+    def kernel(*refs):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] int32; g_ref [1,1,rows_out,P] f32
         # dyn/ids/sta_hbm: forward record table blocks (re-read)
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
         # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
+        if compact:
+            (tlist_ref, wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm,
+             ids_hbm, sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr,
+             stage_in, stage_out, sems_t, sems_r, sems_w) = refs
+        else:
+            (wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
+             sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr, stage_in,
+             stage_out, sems_t, sems_r, sems_w) = refs
         del zeros_ref
         b = pl.program_id(0)
-        t = pl.program_id(1)
+        if compact:
+            t = tlist_ref[b, pl.program_id(1)]
+        else:
+            t = pl.program_id(1)
         bs = jnp.minimum(b, sta_hbm.shape[0] - 1)
         n_iter = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]          # [P, 1] int32
@@ -1200,7 +1247,7 @@ _CORE_CACHE: dict = {}
 def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                       max_span: int | None = None,
                       global_cap: int = 64, rows_budget: int | None = None,
-                      winner_cap: int = 128,
+                      winner_cap: int = 128, tiles_budget: int | None = None,
                       shared_attr: bool = False, interpret: bool = False,
                       projected: bool = False, tiled: bool = False):
     """Cached custom_vjp'd core for one (topology, config).
@@ -1229,11 +1276,13 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     if max_span is None:
         max_span = default_max_span(F, H, W)
     key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
-           winner_cap, shared_attr, interpret, projected, tiled)
+           winner_cap, tiles_budget, shared_attr, interpret, projected,
+           tiled)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
-    p = _plan(F, V, C, H, W, max_span, global_cap, rows_budget, winner_cap)
+    p = _plan(F, V, C, H, W, max_span, global_cap, rows_budget, winner_cap,
+              tiles_budget=tiles_budget)
     # Keep topology as NUMPY in the closure: the core is cached across jit
     # traces, and jnp constants created inside one trace would leak into
     # the next (UnexpectedTracerError).
@@ -1326,70 +1375,156 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
              jnp.zeros((B, T), jnp.int32)], axis=-1)  # [B, T, 4]
         meta = meta[:, :, None, :]  # [B, T, 1, 4] (SMEM block rule)
 
+        # ---- active-tile compaction (tiles_budget / p["ta_cap"]): the
+        # kernels' grid runs over a per-view list of tiles whose chunk
+        # bboxes are non-empty; bbox-inactive tiles are provably
+        # background so skipping them is exact. The list is scalar-
+        # prefetched; padding entries point at a DUMMY tile T whose meta
+        # row is zero (the kernels' empty branch). Outputs gain the dummy
+        # row; pix is zero-filled via input/output aliasing so inactive
+        # tiles read as background downstream.
+        ta_cap = p["ta_cap"]
+        compact = ta_cap is not None
+        tlist = None
+        extra_drop = 0
+        if compact:
+            t_ar = jnp.arange(T, dtype=jnp.int32)
+            txg = t_ar % tiles_x
+            tyg = t_ar // tiles_x
+
+            def _active_one(sx, sy, w):
+                # same bboxes as _build_lists (XLA CSEs the shared math);
+                # globals included — their coverage is also bbox-bounded
+                ctx0, cty0, csx, csy, av = _chunk_bboxes(
+                    sx, sy, w, p, H, W)
+                hit = (
+                    av[:, None]
+                    & (txg[None, :] >= ctx0[:, None])
+                    & (txg[None, :] < (ctx0 + csx)[:, None])
+                    & (tyg[None, :] >= cty0[:, None])
+                    & (tyg[None, :] < (cty0 + csy)[:, None])
+                )                                        # [nc, T]
+                return jnp.any(hit, axis=0)              # [T]
+
+            active = jax.vmap(_active_one)(sx_rows, sy_rows, w_rows)
+            tlist = jax.vmap(
+                lambda a: jnp.nonzero(a, size=ta_cap, fill_value=T)[0]
+            )(active).astype(jnp.int32)                  # [B, ta_cap]
+            # active tiles beyond the budget are dropped; their main-list
+            # pairs join counter col 0 (fail-visible, like pair_cap)
+            ai = active.astype(jnp.int32)
+            rank = jnp.cumsum(ai, axis=-1) - ai
+            dropped = active & (rank >= ta_cap)
+            extra_drop = jnp.sum(
+                jnp.where(dropped, ends - starts, 0), axis=-1
+            ).astype(jnp.int32)
+            meta = jnp.pad(meta, ((0, 0), (0, 1), (0, 0), (0, 0)))
+        Tout = T + 1 if compact else T
+
+        def _gridspec(in_specs, out_specs):
+            """(b, tile) grid; compact mode prefetches the tile list and
+            index-maps through it (padding -> dummy tile T)."""
+            if not compact:
+                return dict(grid=(B, T), in_specs=in_specs,
+                            out_specs=out_specs)
+            def wrap(s):
+                if s.block_shape is None:   # ANY-space whole-array spec
+                    return s
+                f = s.index_map
+                return pl.BlockSpec(
+                    s.block_shape,
+                    (lambda f: lambda b, ta, tl: f(b, tl[b, ta]))(f),
+                    memory_space=s.memory_space)
+            return dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, ta_cap),
+                in_specs=[wrap(s) for s in in_specs],
+                out_specs=(wrap(out_specs) if not isinstance(
+                    out_specs, (list, tuple))
+                    else [wrap(s) for s in out_specs])))
+
         # ---- pass A: winning face index per pixel + in-kernel winner
         # compaction (distinct winning chunks per tile come straight out
         # of the kernel; no XLA sort/scatter compaction stage)
+        passa_in = [
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, p["pair_cap"]),
+                         lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, p["g_pad"]), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, nc), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        passa_out = [
+            pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p["wcap"]),
+                         lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 8), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        passa_args = (meta, chunk_list[:, None], g_list[:, None],
+                      anchors, tab_a)
+        if compact:
+            passa_args = (tlist,) + passa_args
         slot, wlist4, wstat = pl.pallas_call(
-            _make_passa_kernel(p),
-            grid=(B, T),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, p["pair_cap"]),
-                             lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, p["g_pad"]), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2, nc), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, p["wcap"]),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, 8), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            _make_passa_kernel(p, compact=compact),
             out_shape=[
-                jax.ShapeDtypeStruct((B, T, _PIX, 1), jnp.int32),
-                jax.ShapeDtypeStruct((B, T, 1, p["wcap"]), jnp.int32),
-                jax.ShapeDtypeStruct((B, T, 1, 8), jnp.int32),
+                jax.ShapeDtypeStruct((B, Tout, _PIX, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, Tout, 1, p["wcap"]), jnp.int32),
+                jax.ShapeDtypeStruct((B, Tout, 1, 8), jnp.int32),
             ],
             interpret=interpret,
-        )(meta, chunk_list[:, None], g_list[:, None], anchors, tab_a)
+            **_gridspec(passa_in, passa_out),
+        )(*passa_args)
 
-        wlist = wlist4[:, :, 0]                          # [B, T, wcap]
-        wcnt = wstat[:, :, 0, 0]                         # [B, T]
+        wlist = wlist4[:, :, 0]                          # [B, Tout, wcap]
+        wcnt = wstat[:, :, 0, 0]                         # [B, Tout]
+        # (compact mode: unvisited tiles' wcnt is uninitialized memory —
+        # only ever read through tlist, where every entry was visited)
         wmeta = jnp.stack(
             [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
-             jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]  # [B, T, 1, 4]
+             jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]
 
         # ---- pass B: extract winner records + interpolate in-kernel
+        passb_in = [
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, p["wcap"]),
+                         lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        passb_out = pl.BlockSpec((1, 1, rows_out, _PIX),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        passb_args = (wmeta, wlist[:, :, None], slot,
+                      tab_dyn, tab_ids, tab_sta)
+        passb_kw = {}
+        if compact:
+            pix_init = jnp.zeros((B, Tout, rows_out, _PIX), jnp.float32)
+            passb_in = passb_in + [pl.BlockSpec(memory_space=pl.ANY)]
+            passb_args = (tlist,) + passb_args + (pix_init,)
+            # arg index counts the scalar-prefetch operand
+            passb_kw["input_output_aliases"] = {7: 0}
         outf = pl.pallas_call(
-            _make_passb_kernel(p, C),
-            grid=(B, T),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, p["wcap"]),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((1, 1, rows_out, _PIX),
-                                   lambda b, t: (b, t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, T, rows_out, _PIX),
+            _make_passb_kernel(p, C, compact=compact),
+            out_shape=jax.ShapeDtypeStruct((B, Tout, rows_out, _PIX),
                                            jnp.float32),
             interpret=interpret,
-        )(wmeta, wlist[:, :, None], slot, tab_dyn, tab_ids, tab_sta)
+            **_gridspec(passb_in, passb_out),
+            **passb_kw,
+        )(*passb_args)
+        if compact:
+            outf = outf[:, :T]
 
         if tiled:
             # stay in the kernel's tile layout: no untile transpose (the
@@ -1407,20 +1542,32 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             pix = pix[:, :, :H, :W]
             ids = jnp.round(pix[9 + C]).astype(jnp.int32)
         # per-view overflow counters (VERDICT r2 #7): col 0 = live pairs
-        # dropped past the SMEM pair cap, col 1 = winner-cap overflow
-        # (distinct winning chunks beyond wcap; those pixels render as
-        # background), col 2 = oversize chunks dropped past global_cap
-        # (ADVICE r3: previously silent). All 0 on a healthy run.
-        counters = jnp.stack(
-            [n_drop, wstat[:, :, 0, 1].sum(axis=1), g_drop],
-            axis=-1)  # [B, 3]
-        return pix, ids, counters, slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta
+        # dropped past the SMEM pair cap (compact mode also adds the
+        # pairs of active tiles dropped past tiles_budget), col 1 =
+        # winner-cap overflow (distinct winning chunks beyond wcap; those
+        # pixels render as background), col 2 = oversize chunks dropped
+        # past global_cap (ADVICE r3: previously silent). All 0 on a
+        # healthy run.
+        if compact:
+            # unvisited tiles' wstat is uninitialized memory: reduce the
+            # overflow column over the VISITED (tlist) tiles only
+            bi = jnp.arange(B, dtype=jnp.int32)[:, None]
+            wover = wstat[bi, tlist][:, :, 0, 1].sum(axis=1)
+            counters = jnp.stack(
+                [n_drop + extra_drop, wover, g_drop], axis=-1)
+        else:
+            counters = jnp.stack(
+                [n_drop, wstat[:, :, 0, 1].sum(axis=1), g_drop],
+                axis=-1)  # [B, 3]
+        return (pix, ids, counters, slot, wmeta, wlist, tab_dyn, tab_ids,
+                tab_sta, tlist)
 
     def _bwd_gtab(res, cts):
         """Shared backward trunk: pixel cotangents -> face-table gradient
         [B, rec, Fpad] (kernel) + attribute gradient."""
         g_pix = cts[0]
-        slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, B = res
+        slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, tlist, B = res
+        compact = tlist is not None
 
         if tiled:
             # cotangents arrive already tiled [B, T, rows_used, P]
@@ -1432,44 +1579,72 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                                 (0, Hp - H), (0, Wp - W)))
             g = g.reshape(rows_out, B, tiles_y, TILE_H, tiles_x, TILE_W)
             g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rows_out, _PIX)
+        if compact:
+            # dummy-tile row for the padding entries of tlist. Inactive
+            # tiles' cotangents are correctly DROPPED: their pix output
+            # is constant background, so their true input gradient is 0.
+            g = jnp.pad(g, ((0, 0), (0, 1), (0, 0), (0, 0)))
 
-        kernel = _make_bwd_kernel(p, C)
+        kernel = _make_bwd_kernel(p, C, compact=compact)
         zeros = jnp.zeros((B, rec, Fpad), jnp.float32)
+        bwd_in = [
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, p["wcap"]),
+                         lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows_out, _PIX),
+                         lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        bwd_out = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((2, rec, K), jnp.float32),
+            pltpu.VMEM((rec, _PIX), jnp.float32),
+            pltpu.VMEM((2, rec, K), jnp.float32),
+            pltpu.VMEM((2, rec, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        bwd_args = (wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_ids,
+                    tab_sta, zeros)
+        if compact:
+            def wrap(s):
+                if s.block_shape is None:
+                    return s
+                f = s.index_map
+                return pl.BlockSpec(
+                    s.block_shape,
+                    (lambda f: lambda b, ta, tl: f(b, tl[b, ta]))(f),
+                    memory_space=s.memory_space)
+
+            grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, p["ta_cap"]),
+                in_specs=[wrap(s) for s in bwd_in],
+                out_specs=bwd_out,
+                scratch_shapes=scratch))
+            bwd_args = (tlist,) + bwd_args
+            alias = {8: 0}   # arg index counts the scalar-prefetch operand
+        else:
+            grid_kw = dict(grid=(B, T), in_specs=bwd_in,
+                           out_specs=bwd_out, scratch_shapes=scratch)
+            alias = {7: 0}
         gtab = pl.pallas_call(
             kernel,
-            grid=(B, T),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, p["wcap"]),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, rows_out, _PIX),
-                             lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B, rec, Fpad), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((2, rec, K), jnp.float32),
-                pltpu.VMEM((rec, _PIX), jnp.float32),
-                pltpu.VMEM((2, rec, K), jnp.float32),
-                pltpu.VMEM((2, rec, K), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 3)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            input_output_aliases={7: 0},
+            input_output_aliases=alias,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_ids, tab_sta,
-          zeros)
+            **grid_kw,
+        )(*bwd_args)
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
 
@@ -1586,10 +1761,58 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
     return live, min(budget, nc * max_span)
 
 
+def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
+    """Per-view count of tiles touched by ANY chunk bbox, for sizing
+    `tiles_budget` (the active-tile compacted kernel grid).
+
+    clip [B, V, 4] (concrete); returns (counts [B] np, suggested budget
+    int). Like `audit_deferred_rows`, run once at scene setup; budget
+    with margin because the mesh deforms during optimization (active
+    tiles past the budget drop their pairs into counter col 0 —
+    fail-visible).
+    """
+    H, W = resolution
+    faces = np.asarray(faces, np.int32)
+    F = int(faces.shape[0])
+    Fp = _round_up(max(F, 1), _CHUNK)
+    if Fp > F:
+        faces = np.concatenate([faces, np.zeros((Fp - F, 3), np.int32)])
+    if max_span is None:
+        max_span = default_max_span(F, H, W)
+    p = _plan(Fp, 0, 0, H, W, max_span, 64, quiet=True)
+    T, tiles_x = p["T"], p["tiles_x"]
+
+    @jax.jit
+    def one(tri):
+        sx_ = tri[..., 0].T
+        sy_ = tri[..., 1].T
+        w_ = tri[..., 3].T
+        iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
+        sx_, sy_ = sx_ * iw, sy_ * iw
+        ctx0, cty0, csx, csy, av = _chunk_bboxes(sx_, sy_, w_, p, H, W)
+        t_ar = jnp.arange(T, dtype=jnp.int32)
+        txg = t_ar % tiles_x
+        tyg = t_ar // tiles_x
+        hit = (
+            av[:, None]
+            & (txg[None, :] >= ctx0[:, None])
+            & (txg[None, :] < (ctx0 + csx)[:, None])
+            & (tyg[None, :] >= cty0[:, None])
+            & (tyg[None, :] < (cty0 + csy)[:, None])
+        )
+        return jnp.sum(jnp.any(hit, axis=0))
+
+    faces_j = jnp.asarray(faces, jnp.int32)
+    counts = np.asarray([int(one(c[faces_j])) for c in clip])
+    budget = _round_up(int(counts.max() * 1.3) + 16, 8)
+    return counts, min(budget, T)
+
+
 def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            *, max_span: int | None = None,
                            global_cap: int = 64, rows_budget: int | None = None,
                            winner_cap: int = 128,
+                           tiles_budget: int | None = None,
                            with_aa: bool = True, aa_budget=None,
                            interpret: bool = False,
                            mesh=None, views_axis: str = "views",
@@ -1624,6 +1847,7 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
     core = get_deferred_core(topo, C, H, W,
                              max_span=max_span, global_cap=global_cap,
                              rows_budget=rows_budget, winner_cap=winner_cap,
+                             tiles_budget=tiles_budget,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret)
     if mesh is not None and views_axis in mesh.axis_names:
@@ -1783,7 +2007,9 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                             resolution, *, max_span: int | None = None,
                             global_cap: int = 64,
                             rows_budget: int | None = None,
-                            winner_cap: int = 128, with_aa: bool = True,
+                            winner_cap: int = 128,
+                            tiles_budget: int | None = None,
+                            with_aa: bool = True,
                             aa_budget=None, interpret: bool = False,
                             mesh=None, views_axis: str = "views",
                             with_counters: bool = False,
@@ -1805,6 +2031,7 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
     core = get_deferred_core(topo, C, H, W,
                              max_span=max_span, global_cap=global_cap,
                              rows_budget=rows_budget, winner_cap=winner_cap,
+                             tiles_budget=tiles_budget,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret, projected=True,
                              tiled=tiled)

@@ -832,3 +832,106 @@ def test_winner_cap_overflow_retention():
         np.asarray(feat_c)[keep_mask], np.asarray(feat_ref)[keep_mask],
         atol=1e-6, rtol=1e-6)
     assert np.all(np.asarray(feat_c)[~keep_mask] == 0.0)
+
+
+def test_tiles_budget_matches_dense():
+    """Active-tile grid compaction (tiles_budget): the compacted kernels
+    run only over tiles whose chunk bboxes are non-empty — outputs and
+    gradients must BIT-match the dense grid (bbox-inactive tiles are
+    provably background), in both image and tiled layouts."""
+    from fmhr_tpu.raster.deferred import (
+        render_pixels_projected, audit_active_tiles, tile_images)
+    from fmhr_tpu.raster import apply_antialias
+    from fmhr_tpu.raster.antialias import apply_antialias_tiled
+
+    res = (32, 256)
+    verts, faces, mats = _proj_scene(res=res)
+    V = verts.shape[0]
+    attr = jnp.asarray(
+        np.random.default_rng(0).standard_normal((V, 5)), jnp.float32)
+    topo = DeferredTopology.build(faces, V)
+
+    vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
+    clip = jnp.einsum("vj,bjc->bvc", vh, mats)
+    counts, ta_budget = audit_active_tiles(clip, faces, res, max_span=8)
+    assert counts.max() > 0
+    T = -(-res[0] // 8) * -(-res[1] // 32)  # default 8x32 tiles
+    assert ta_budget < T, "scene covers every tile; compaction untestable"
+
+    # ---- image layout: forward + counters -------------------------------
+    r0, f0, a0, c0 = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=8, interpret=True,
+        with_counters=True)
+    r1, f1, a1, c1 = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=8, interpret=True,
+        with_counters=True, tiles_budget=ta_budget)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    for k in ("h", "v"):
+        for x, y in zip(a0[k], a1[k]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # ---- tiled layout: forward + gradients -------------------------------
+    cot = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, res[0], res[1], 3)), jnp.float32)
+    cot_t = tile_images(cot, res)
+
+    def loss_tiled(v, a, tb):
+        tr = render_pixels_projected(
+            v, mats, a, topo, res, max_span=8, interpret=True,
+            layout="tiled", tiles_budget=tb)
+        img = apply_antialias_tiled(tr["feat"][:, :, :3], tr["aa"])
+        return jnp.sum(img * cot_t)
+
+    l0 = loss_tiled(verts, attr, None)
+    l1 = loss_tiled(verts, attr, ta_budget)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    gv0, ga0 = jax.grad(loss_tiled, argnums=(0, 1))(verts, attr, None)
+    gv1, ga1 = jax.grad(loss_tiled, argnums=(0, 1))(
+        verts, attr, ta_budget)
+    np.testing.assert_array_equal(np.asarray(gv0), np.asarray(gv1))
+    np.testing.assert_array_equal(np.asarray(ga0), np.asarray(ga1))
+
+    # ---- mats/attr grads through the image layout ------------------------
+    def loss_img(m, a, tb):
+        r, f, aw = render_pixels_projected(
+            verts, m, a, topo, res, max_span=8, interpret=True,
+            tiles_budget=tb)
+        img = apply_antialias(f[..., :3], aw)
+        return jnp.sum(img ** 2) + jnp.sum(r[..., :3] ** 2)
+
+    gm0, ga0 = jax.grad(loss_img, argnums=(0, 1))(mats, attr, None)
+    gm1, ga1 = jax.grad(loss_img, argnums=(0, 1))(mats, attr, ta_budget)
+    np.testing.assert_array_equal(np.asarray(gm0), np.asarray(gm1))
+    np.testing.assert_array_equal(np.asarray(ga0), np.asarray(ga1))
+
+
+def test_tiles_budget_overflow_counted():
+    """Active tiles beyond tiles_budget drop (render as background) and
+    their main-list pairs surface in counter col 0 — fail-visible, same
+    contract as the pair cap."""
+    from fmhr_tpu.raster.deferred import render_pixels_projected
+
+    res = (32, 256)
+    verts, faces, mats = _proj_scene(res=res)
+    V = verts.shape[0]
+    attr = jnp.asarray(
+        np.random.default_rng(0).standard_normal((V, 5)), jnp.float32)
+    topo = DeferredTopology.build(faces, V)
+
+    r0, f0, _, c0 = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=8, interpret=True,
+        with_counters=True, with_aa=False)
+    r1, f1, _, c1 = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=8, interpret=True,
+        with_counters=True, with_aa=False, tiles_budget=2)
+    c0, c1 = np.asarray(c0), np.asarray(c1)
+    assert c0[:, 0].sum() == 0
+    assert (c1[:, 0] > 0).all(), "expected dropped-tile pairs in col 0"
+    # kept tiles bit-match; dropped tiles are background
+    ids0 = np.asarray(r0[..., 3])
+    ids1 = np.asarray(r1[..., 3])
+    covered1 = ids1 > 0
+    np.testing.assert_array_equal(ids1[covered1], ids0[covered1])
+    assert (np.asarray(f1)[~covered1] == 0.0).all()
