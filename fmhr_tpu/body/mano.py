@@ -65,6 +65,11 @@ class ManoModel:
     hand_mean: np.ndarray       # [(J-1)*3]
     hand_components: np.ndarray # [C, (J-1)*3] PCA basis rows
     is_rhand: bool
+    # Fingertip vertex ids (thumb, index, middle, ring, pinky) for
+    # joints21. None = real MANO topology -> MANO_TIP_VERTEX_IDS. Models
+    # with non-MANO vertex counts (synthetic stand-ins) MUST set this:
+    # the MANO ids (max 745) silently clamp out of range otherwise.
+    tip_vertex_ids: tuple | None = None
 
     @property
     def num_vertices(self) -> int:
@@ -79,13 +84,17 @@ class ManoModel:
         return "right" if self.is_rhand else "left"
 
     def save_npz(self, path: str) -> None:
+        extra = {}
+        if self.tip_vertex_ids is not None:
+            extra["tip_vertex_ids"] = np.asarray(self.tip_vertex_ids,
+                                                 np.int32)
         np.savez(
             path, v_template=self.v_template, shapedirs=self.shapedirs,
             posedirs=self.posedirs, J_regressor=self.J_regressor,
             lbs_weights=self.lbs_weights,
             parents=np.asarray(self.parents, np.int32), faces=self.faces,
             hand_mean=self.hand_mean, hand_components=self.hand_components,
-            is_rhand=self.is_rhand,
+            is_rhand=self.is_rhand, **extra,
         )
 
     @classmethod
@@ -102,6 +111,8 @@ class ManoModel:
             hand_mean=d["hand_mean"].astype(np.float32),
             hand_components=d["hand_components"].astype(np.float32),
             is_rhand=bool(d["is_rhand"]),
+            tip_vertex_ids=(tuple(int(t) for t in d["tip_vertex_ids"])
+                            if "tip_vertex_ids" in d else None),
         )
 
     def full_pose(
@@ -192,7 +203,9 @@ def joints21(
     Parity: `mano_optim.py:212-227` (mano_forward). NOTE scale/translation
     must already be applied consistently to verts and joints16.
     """
-    tips = verts[:, jnp.asarray(MANO_TIP_VERTEX_IDS[model.hand_type])]
+    tip_ids = (model.tip_vertex_ids if model.tip_vertex_ids is not None
+               else MANO_TIP_VERTEX_IDS[model.hand_type])
+    tips = verts[:, jnp.asarray(tip_ids)]
     j = jnp.concatenate([joints16, tips], axis=1)
     return j[:, jnp.asarray(MANO_JOINT_REORDER)]
 

@@ -48,41 +48,62 @@ def _tube(p0, p1, radius, segments=6, rings=3):
 
 
 def synthetic_hand_model(seed: int = 0, is_rhand: bool = True) -> ManoModel:
-    """Build a deterministic articulated tube-hand with MANO's layout."""
+    """Build a deterministic articulated tube-hand with MANO's layout.
+
+    MANO finger-joint order (index, middle, pinky, ring, thumb — the
+    joint blocks the 21-keypoint reorder assumes) with a hand-like fan:
+    the thumb sits to the side, shorter and thicker. Fingertip vertex
+    ids are tracked per finger so joints21 uses REAL tips (the MANO
+    table's vertex ids don't exist on this topology), and the first PCA
+    components are structured per-finger curls + a spread — without
+    them a keypoint fit cannot articulate and collapses to the
+    keypoint centroid (observed on demo_data round 4).
+    """
     rng = np.random.default_rng(seed)
     side = 1.0 if is_rhand else -1.0
 
-    # Joint rest positions: palm at origin, fingers fanning in +x.
+    # Finger fan angles in the palm (xy) plane, MANO joint-block order:
+    #   f=0 index, f=1 middle, f=2 pinky, f=3 ring, f=4 thumb
+    fan = (-0.25, 0.0, 0.55, 0.28, -1.1)
+    base_len = (0.35, 0.36, 0.30, 0.34, 0.22)
+    seg_len = (0.20, 0.21, 0.16, 0.19, 0.15)
+    radius = (0.05, 0.05, 0.045, 0.05, 0.065)
+
     joints = np.zeros((16, 3))
     finger_dirs = []
     for f in range(5):
-        ang = (f - 2) * 0.3
-        d = np.array([np.cos(ang), np.sin(ang), 0.0])
+        d = np.array([np.cos(fan[f]), np.sin(fan[f]), 0.0])
         d[0] *= side
         finger_dirs.append(d)
-        base = d * 0.35
+        base = d * base_len[f]
         for s in range(3):
-            joints[1 + f * 3 + s] = base + d * 0.22 * (s + 1)
+            joints[1 + f * 3 + s] = base + d * seg_len[f] * (s + 1)
 
     verts_list, faces_list = [], []
-    seg_ends = []  # (joint_a, joint_b) per tube
+    tip_by_finger = {}
     # palm tube
-    verts_list.append(_tube([0, 0, 0], [side * 0.3, 0, 0], 0.16, 8, 2)[0])
-    faces_list.append(_tube([0, 0, 0], [side * 0.3, 0, 0], 0.16, 8, 2)[1])
-    seg_ends.append((0, 0))
+    pv, pf = _tube([0, 0, 0], [side * 0.3, 0, 0], 0.16, 8, 2)
+    verts_list.append(pv)
+    faces_list.append(pf)
     for f in range(5):
         for s in range(3):
             j = 1 + f * 3 + s
-            p0 = joints[j - 1] if s > 0 else finger_dirs[f] * 0.35
+            p0 = joints[j - 1] if s > 0 else finger_dirs[f] * base_len[f]
             p1 = joints[j]
-            v, fc = _tube(p0, p1, 0.05, 6, 2)
-            seg_ends.append((j if s > 0 else 0, j))
-            faces_list.append(fc + sum(len(x) for x in verts_list))
+            v, fc = _tube(p0, p1, radius[f], 6, 2)
+            offset = sum(len(x) for x in verts_list)
+            faces_list.append(fc + offset)
             verts_list.append(v)
+            if s == 2:
+                # _tube rings run p0 -> p1; the last ring starts at
+                # rings*segments = 12 — a true end-of-finger vertex
+                tip_by_finger[f] = offset + 12
 
     v_template = np.concatenate(verts_list).astype(np.float32)
     faces = np.concatenate(faces_list).astype(np.int32)
     V = v_template.shape[0]
+    # joints21 tip order: thumb, index, middle, ring, pinky
+    tip_vertex_ids = tuple(int(tip_by_finger[f]) for f in (4, 0, 1, 2, 3))
 
     # Skinning weights: softmax over inverse distances to the 16 joints.
     d = np.linalg.norm(v_template[:, None] - joints[None], axis=2)
@@ -96,8 +117,25 @@ def synthetic_hand_model(seed: int = 0, is_rhand: bool = True) -> ManoModel:
     shapedirs = (rng.normal(size=(V, 3, 10)) * 0.01).astype(np.float32)
     posedirs = (rng.normal(size=(15 * 9, V * 3)) * 0.001).astype(np.float32)
     hand_mean = (rng.normal(size=45) * 0.05).astype(np.float32)
-    q = rng.normal(size=(45, 45))
-    hand_components = np.linalg.qr(q)[0].astype(np.float32)
+
+    # Structured leading PCA rows (what a 6-component fit actually uses):
+    # per-finger curls about the in-plane axis perpendicular to the
+    # finger, distally weighted, plus a base-joint spread about z.
+    structured = np.zeros((6, 45))
+    for f in range(5):
+        dxy = finger_dirs[f]
+        curl_axis = np.array([dxy[1], -dxy[0], 0.0])   # cross(d, z)
+        for s, wgt in enumerate((0.8, 1.0, 1.2)):
+            j = f * 3 + s                              # articulated idx
+            structured[f, 3 * j:3 * j + 3] = curl_axis * wgt
+    mean_fan = float(np.mean(fan))
+    for f in range(5):
+        j = f * 3
+        structured[5, 3 * j:3 * j + 3] = (
+            np.array([0.0, 0.0, side]) * (fan[f] - mean_fan))
+    full = np.concatenate([structured, rng.normal(size=(39, 45))], 0)
+    q, _ = np.linalg.qr(full.T)       # Gram-Schmidt keeps row order
+    hand_components = q.T.astype(np.float32)
 
     return ManoModel(
         v_template=v_template,
@@ -110,6 +148,7 @@ def synthetic_hand_model(seed: int = 0, is_rhand: bool = True) -> ManoModel:
         hand_mean=hand_mean,
         hand_components=hand_components,
         is_rhand=is_rhand,
+        tip_vertex_ids=tip_vertex_ids,
     )
 
 

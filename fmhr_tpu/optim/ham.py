@@ -530,10 +530,7 @@ def run_ham(
 
     def make_run_stage_a(m: int):
         @jax.jit
-        def run_stage_a(albedo0, sh0, data):
-            params = {"albedo": albedo0, "sh": sh0}
-            state = opt_a.init(params)
-
+        def run_stage_a(params, state, batches, data):
             def loss_fn(pp, idx):
                 num, den = terms_a(pp["albedo"], pp["sh"], idx, data)
                 return cfg.sfs_weight * num / jnp.maximum(den, 1.0)
@@ -566,18 +563,30 @@ def run_ham(
                 upd, s = opt_a.update(g, s)
                 return (optax.apply_updates(p, upd), s), loss
 
-            (p, _), losses = jax.lax.scan(step, (params, state), batches_a)
-            return p["albedo"], p["sh"], losses
+            (p, s), losses = jax.lax.scan(step, (params, state), batches)
+            return p, s, losses
 
         return run_stage_a
 
+    # Stage A runs as host-synced SEGMENTS (like stage B): one device
+    # execution is bounded to ~checkpoint_every epochs instead of the
+    # whole 150-epoch scan — a multi-minute single execution is where
+    # the tunneled backend's full-res runs died (round-4 logs), and
+    # bounded segments are also the shape checkpointing needs.
+    params_a = {"albedo": albedo, "sh": sh_coeffs}
+    state_a = opt_a.init(params_a)
+    total_a = batches_a.shape[0]
+    seg_a = max(1, checkpoint_every * max(1, N // max(cfg.batch, 1)))
     m_a = mb
-    while True:
+    runner_a = make_run_stage_a(m_a)
+    losses_a_chunks = []
+    ka = 0
+    while ka < total_a:
+        end = min(total_a, ka + seg_a)
         try:
-            albedo_n, sh_n, losses_a = make_run_stage_a(m_a)(
-                albedo, sh_coeffs, data_a)
-            albedo_n.block_until_ready()
-            break
+            params_a, state_a, losses_seg = runner_a(
+                params_a, state_a, batches_a[ka:end], data_a)
+            jax.block_until_ready(losses_seg)
         except Exception as e:  # noqa: BLE001 — OOM fallback only
             if not _is_memory_error(e) or m_a <= 1:
                 raise
@@ -590,7 +599,13 @@ def run_ham(
                 f"HAM stage A out of device memory at view microbatch "
                 f"{m_a}; retrying with {m_new}.", stacklevel=2)
             m_a = m_new
-    albedo, sh_coeffs = albedo_n, sh_n
+            runner_a = make_run_stage_a(m_a)
+            continue
+        losses_a_chunks.append(losses_seg)
+        ka = end
+    albedo, sh_coeffs = params_a["albedo"], params_a["sh"]
+    losses_a = (jnp.concatenate(losses_a_chunks)
+                if losses_a_chunks else jnp.zeros((0,)))
     if os.environ.get("FMHR_HAM_SYNC"):
         print("[ham] stage A done", flush=True)
 

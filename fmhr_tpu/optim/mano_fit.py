@@ -71,15 +71,35 @@ def fit_mano_two_hands(
     (HandFit left, HandFit right, verts_left [1,V,3], verts_right)."""
     k3d = jnp.asarray(k3d, jnp.float32)
 
-    def init_params(k):
+    def init_params(model, k):
+        # Data-driven similarity init, generalizing the reference's MANO
+        # constants (`mano_optim.py:148-157`: scale = 2.0 and a hardcoded
+        # MANO rest-wrist offset — correct only when the model IS MANO).
+        # Matching the mean joint-from-wrist extent and wrist position
+        # gives the same ballpark for real MANO (~1.5-2.0 on the demo
+        # keypoints) and a sane start for stand-in models of any size —
+        # the hardcoded 2.0 left the synthetic stand-in ~5x too large
+        # after 250 epochs, which wrecked every downstream HAM stage
+        # (100 px faces -> pathological tile binning).
+        v0, j16 = mano_forward(
+            model, jnp.zeros((1, 3)), jnp.zeros((1, NCOMPS)),
+            jnp.zeros((1, 10)), use_pca=True)
+        j21 = joints21(model, v0, j16)                  # [1, 21, 3]
+        span_k = jnp.mean(
+            jnp.linalg.norm(k - k[:, :1], axis=-1), axis=-1)
+        span_m = jnp.mean(
+            jnp.linalg.norm(j21 - j21[:, :1], axis=-1), axis=-1)
+        scale0 = span_k / jnp.maximum(span_m, 1e-6)     # [1]
+        trans0 = k[:, 0] - scale0[:, None] * j21[:, 0]
         return {
             "pose": jnp.zeros((1, 3 + NCOMPS)),
             "shape": jnp.zeros((1, 10)),
-            "trans": k[:, 0] - jnp.asarray(_TRANS_OFFSET)[None],
-            "scale": jnp.ones((1,)) * 2.0,
+            "trans": trans0,
+            "scale": scale0,
         }
 
-    params = {"left": init_params(k3d[:, :21]), "right": init_params(k3d[:, 21:])}
+    params = {"left": init_params(model_left, k3d[:, :21]),
+              "right": init_params(model_right, k3d[:, 21:])}
 
     labels = {
         h: {"pose": "pose", "shape": "other", "trans": "other", "scale": "other"}
