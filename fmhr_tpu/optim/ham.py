@@ -577,6 +577,9 @@ def run_ham(
     state_a = opt_a.init(params_a)
     total_a = batches_a.shape[0]
     seg_a = max(1, checkpoint_every * max(1, N // max(cfg.batch, 1)))
+    _seg_cap = int(os.environ.get("FMHR_MAX_SEG_STEPS", "0"))
+    if _seg_cap > 0:
+        seg_a = max(1, min(seg_a, _seg_cap))
     m_a = mb
     runner_a = make_run_stage_a(m_a)
     losses_a_chunks = []
@@ -764,6 +767,8 @@ def run_ham(
     state_b = opt_b.init(params_b)
     total_steps = batches_b.shape[0]
     seg_len = max(1, checkpoint_every * steps_pe)
+    if _seg_cap > 0:
+        seg_len = max(1, min(seg_len, _seg_cap))
     start_step = 0
     if checkpoint_dir is not None:
         from ..utils.checkpoint import latest_step, load_checkpoint

@@ -294,8 +294,16 @@ def train_neural_renderer(
         total = int(batches.shape[0])
         cdir = (os.path.join(checkpoint_dir, subdir)
                 if checkpoint_dir is not None else None)
-        seg_len = (max(1, checkpoint_every * steps_pe)
-                   if cdir is not None else total)
+        # segments are bounded even WITHOUT checkpointing: one device
+        # execution of a multi-minute monolithic scan is where the
+        # tunneled backend's full-res runs died (round-4 logs); a host
+        # sync between segments costs nothing. FMHR_MAX_SEG_STEPS caps
+        # the segment further (steps) for backends with execution
+        # deadlines.
+        seg_len = max(1, checkpoint_every * steps_pe)
+        _cap = int(os.environ.get("FMHR_MAX_SEG_STEPS", "0"))
+        if _cap > 0:
+            seg_len = max(1, min(seg_len, _cap))
         start = 0
         if cdir is not None:
             from ..utils.checkpoint import latest_step, load_checkpoint
