@@ -74,6 +74,9 @@ def main() -> None:
     ap.add_argument("--impl", default=None,
                     help="force a rasterizer backend (e.g. binned) instead "
                          "of the deferred Pallas path")
+    ap.add_argument("--trace", action="store_true",
+                    help="after timing, profile one chain and print the "
+                         "top device ops to stderr")
     args = ap.parse_args()
 
     if args.platform:
@@ -324,6 +327,28 @@ def main() -> None:
     rays = n_views * H * W
     mrays = rays / dt / 1e6
     steps_per_s = 1.0 / dt
+
+    if args.trace:
+        # op-level attribution of the PRODUCTION step (stderr; stdout
+        # stays one JSON line for the driver)
+        import tempfile
+
+        from fmhr_tpu.utils.profiling import top_device_ops
+
+        tdir = tempfile.mkdtemp(prefix="fmhr_bench_trace_")
+        with jax.profiler.trace(tdir):
+            _, _, _l = run_chain(params, state, imgs, masks)
+            np.asarray(jax.device_get(_l))
+        rows, total = top_device_ops(tdir, n_iters=iters, top=30)
+        if rows is None:
+            print("[trace] no trace file found under", tdir,
+                  file=sys.stderr)
+        else:
+            print(f"[trace] device ms/step total {total:.2f} "
+                  f"(trace dir {tdir})", file=sys.stderr)
+            for name, ms, c in rows:
+                print(f"[trace] {ms:9.3f} ms x{c:<4d} {name[:90]}",
+                      file=sys.stderr)
 
     # capacity-health + realized coverage at the final mesh (the demo
     # preset must report all-zero overflow on a healthy run)
