@@ -29,12 +29,13 @@ def default_capacity(num_faces: int) -> int:
     """Per-tile bin capacity heuristic: cover the whole mesh for small
     meshes (no drops possible), cap the scan length for large ones.
 
-    Dense scenes can exceed any fixed cap (measured ~950 faces in one
-    8x128 tile for a subdiv-2 hand at 512²); oversized-SPAN faces stay
+    Dense scenes can exceed any fixed cap (measured ~1070 faces in one
+    8x128 tile for a subdiv-2 hand at 512² — the thumb/palm overlap of
+    the hand-shaped synthetic template); oversized-SPAN faces stay
     correct via the global list, but crowded tiles drop excess faces —
     size `capacity` to the scene when in doubt (counts are cheap to
     audit via visibility._bin_one_view)."""
-    return int(min(max(128, num_faces), 1024))
+    return int(min(max(128, num_faces), 1536))
 
 
 def rasterize_ids(clip, faces, resolution, impl="auto", **kw):

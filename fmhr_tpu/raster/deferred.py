@@ -657,104 +657,18 @@ def _make_passa_kernel(p, compact=False):
             wstat_ref[0, 0] = jnp.zeros((1, 8), jnp.int32)
 
         def body(tri_buf, sems):
-            def dma(slot_i, ci):
-                k0 = pl.multiple_of(chunk_of(ci) * K, K)
-                return pltpu.make_async_copy(
-                    taba_hbm.at[b, :, pl.ds(k0, K)],
-                    tri_buf.at[slot_i],
-                    sems.at[slot_i],
-                )
-
-            # warm the pipeline DEPTH-1 chunks ahead: with avg ~6 chunks
-            # per (view, tile) pair list, a single outstanding prefetch
-            # leaves the VPU exposed to HBM latency on every iteration if
-            # the per-chunk compute is shorter than the DMA round-trip
-            for i in range(_PASSA_DEPTH - 1):
-                @pl.when(i < n_total)
-                def _(i=i):
-                    dma(i, i).start()
-
-            def loop(ci, carry):
-                zb, cb = carry
-                sl = jax.lax.rem(ci, _PASSA_DEPTH)
-
-                @pl.when(ci + _PASSA_DEPTH - 1 < n_total)
-                def _():
-                    dma(jax.lax.rem(ci + _PASSA_DEPTH - 1, _PASSA_DEPTH),
-                        ci + _PASSA_DEPTH - 1).start()
-
-                dma(sl, ci).wait()
-                ta = tri_buf[sl]                     # [16, K]
-                c = chunk_of(ci)
-                dxs = tx0 - anch_ref[0, 0, c]        # scalar f32
-                dys = ty0 - anch_ref[0, 1, c]
-
-                def grp(g):
-                    # A·(px-ax) + B·(py-ay) + C with the tile offset and
-                    # anchor folded into the [1, K] constant term; the
-                    # [P, K] part is two broadcast FMAs on the VPU (an
-                    # MXU small-k dot was 2x slower: 6 HIGHEST passes of
-                    # a k=4 matmul are pure launch overhead).
-                    blk = ta[4 * g:4 * g + 4]        # [4, K]: A B C d
-                    A = blk[0:1]
-                    Bq = blk[1:2]
-                    Cb = blk[2:3] + A * dxs + Bq * dys       # [1, K]
-                    return colK * A + (rowK * Bq + Cb)       # [P, K]
-
-                l0 = grp(0)
-                l1 = grp(1)
-                l2 = (ta[3:4] - l0) - l1             # d - l0 - l1
-                zw = grp(3)
-                m = jnp.minimum(jnp.minimum(l0, l1), l2)
-                zsel = jnp.where(m >= 0.0, zw, _BIG)
-                better = zsel < zb
-                zb = jnp.where(better, zsel, zb)
-                cb = jnp.where(better, c, cb)
-                return zb, cb
-
-            init = (
-                jnp.full((_PIX, K), _BIG, jnp.float32),
-                jnp.zeros((_PIX, K), jnp.int32),
-            )
-            zb, cb = jax.lax.fori_loop(0, n_total, loop, init)
-            zmin = jnp.min(zb, axis=1, keepdims=True)        # [P, 1]
-            cand = jnp.where(zb <= zmin, cb * K + k_iota, _INT_BIG)
-            slot = jnp.min(cand, axis=1, keepdims=True)      # [P, 1]
-            covered = zmin < _BIG
-            slot_ref[0, 0] = jnp.where(covered, slot, -1)
-
-            # ---- winner compaction, in-kernel: one short replay of the
-            # pair list against the final slot map replaces the XLA
-            # sort/scatter compaction stage (was ~20-30% of the whole
-            # fwd+bwd step at production geometry). DISTINCT because the
-            # pair list itself is duplicate-free per tile.
-            # Degraded-mode retention policy (ADVICE r3): on winner-cap
-            # overflow the FIRST wcap chunks in pair-list order (main
-            # list ascending, then globals) are kept; the replaced XLA
-            # `_winner_lists` kept the lowest-NUMBERED chunks instead.
-            # Either way overflow pixels render as background and the
-            # overflow is counted in wstat lane 1 — the policy only
-            # affects WHICH pixels degrade, pinned by
-            # tests/test_deferred.py::test_winner_cap_overflow_retention.
-            wcap = p["wcap"]
-            cw = jnp.where(covered, jax.lax.div(slot, K), -1)  # [P, 1]
-            wiota = jax.lax.broadcasted_iota(jnp.int32, (1, wcap), 1)
-
-            def wloop(ci, carry):
-                wl, cnt = carry
-                c = chunk_of(ci)
-                win = jnp.sum((cw == c).astype(jnp.int32)) > 0
-                wl = jnp.where(win & (cnt < wcap) & (wiota == cnt), c, wl)
-                return wl, cnt + win.astype(jnp.int32)
-
-            wl, cnt = jax.lax.fori_loop(
-                0, n_total, wloop,
-                (jnp.full((1, wcap), nc, jnp.int32), jnp.int32(0)))
+            slot_col, covered = _vis_tile(
+                p, n_total, chunk_of, anch_ref, taba_hbm, b, tx0, ty0,
+                colK, rowK, k_iota, tri_buf, sems)
+            slot_ref[0, 0] = slot_col
+            wl, cnt = _winner_compact(p, n_total, chunk_of, slot_col,
+                                      covered)
             wlist_ref[0, 0] = wl
             st_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
             wstat_ref[0, 0] = jnp.where(
-                st_iota == 0, jnp.minimum(cnt, wcap),
-                jnp.where(st_iota == 1, jnp.maximum(cnt - wcap, 0), 0))
+                st_iota == 0, jnp.minimum(cnt, p["wcap"]),
+                jnp.where(st_iota == 1,
+                          jnp.maximum(cnt - p["wcap"], 0), 0))
 
         @pl.when(n_total > 0)
         def _():
@@ -765,6 +679,124 @@ def _make_passa_kernel(p, compact=False):
             )
 
     return kernel
+
+
+def _vis_tile(p, n_total, chunk_of, anch_ref, taba_hbm, b, tx0, ty0,
+              colK, rowK, k_iota, tri_buf, sems):
+    """One tile's z-only visibility loop (the pass-A hot loop).
+
+    Returns (slot_col [P, 1] int32 with -1 background, covered [P, 1]
+    bool). Shared by the pass-A kernel and the fused A+B kernel.
+    """
+    K = _CHUNK
+
+    def dma(slot_i, ci):
+        k0 = pl.multiple_of(chunk_of(ci) * K, K)
+        return pltpu.make_async_copy(
+            taba_hbm.at[b, :, pl.ds(k0, K)],
+            tri_buf.at[slot_i],
+            sems.at[slot_i],
+        )
+
+    # warm the pipeline DEPTH-1 chunks ahead: with avg ~6 chunks
+    # per (view, tile) pair list, a single outstanding prefetch
+    # leaves the VPU exposed to HBM latency on every iteration if
+    # the per-chunk compute is shorter than the DMA round-trip
+    for i in range(_PASSA_DEPTH - 1):
+        @pl.when(i < n_total)
+        def _(i=i):
+            dma(i, i).start()
+
+    def loop(ci, carry):
+        zb, cb = carry
+        sl = jax.lax.rem(ci, _PASSA_DEPTH)
+
+        @pl.when(ci + _PASSA_DEPTH - 1 < n_total)
+        def _():
+            dma(jax.lax.rem(ci + _PASSA_DEPTH - 1, _PASSA_DEPTH),
+                ci + _PASSA_DEPTH - 1).start()
+
+        dma(sl, ci).wait()
+        ta = tri_buf[sl]                     # [16, K]
+        c = chunk_of(ci)
+        dxs = tx0 - anch_ref[0, 0, c]        # scalar f32
+        dys = ty0 - anch_ref[0, 1, c]
+
+        def grp(g):
+            # A·(px-ax) + B·(py-ay) + C with the tile offset and
+            # anchor folded into the [1, K] constant term; the
+            # [P, K] part is two broadcast FMAs on the VPU (an
+            # MXU small-k dot was 2x slower: 6 HIGHEST passes of
+            # a k=4 matmul are pure launch overhead).
+            blk = ta[4 * g:4 * g + 4]        # [4, K]: A B C d
+            A = blk[0:1]
+            Bq = blk[1:2]
+            Cb = blk[2:3] + A * dxs + Bq * dys       # [1, K]
+            return colK * A + (rowK * Bq + Cb)       # [P, K]
+
+        l0 = grp(0)
+        l1 = grp(1)
+        l2 = (ta[3:4] - l0) - l1             # d - l0 - l1
+        zw = grp(3)
+        m = jnp.minimum(jnp.minimum(l0, l1), l2)
+        zsel = jnp.where(m >= 0.0, zw, _BIG)
+        better = zsel < zb
+        zb = jnp.where(better, zsel, zb)
+        cb = jnp.where(better, c, cb)
+        return zb, cb
+
+    init = (
+        jnp.full((_PIX, K), _BIG, jnp.float32),
+        jnp.zeros((_PIX, K), jnp.int32),
+    )
+    zb, cb = jax.lax.fori_loop(0, n_total, loop, init)
+    zmin = jnp.min(zb, axis=1, keepdims=True)        # [P, 1]
+    cand = jnp.where(zb <= zmin, cb * K + k_iota, _INT_BIG)
+    slot = jnp.min(cand, axis=1, keepdims=True)      # [P, 1]
+    covered = zmin < _BIG
+    return jnp.where(covered, slot, -1), covered
+
+
+def _winner_compact(p, n_total, chunk_of, slot_col, covered, wsc=None):
+    """In-kernel winner compaction: one short replay of the pair list
+    against the final slot map replaces the XLA sort/scatter compaction
+    stage (was ~20-30% of the whole fwd+bwd step at production
+    geometry). DISTINCT because the pair list itself is duplicate-free
+    per tile. Returns (wl [1, wcap] int32 vector with nc sentinels,
+    cnt); with `wsc` (an SMEM (1, wcap) scratch) the winning chunk ids
+    are ALSO stored as scalars for an in-kernel extraction loop (the
+    fused A+B kernel).
+
+    Degraded-mode retention policy (ADVICE r3): on winner-cap
+    overflow the FIRST wcap chunks in pair-list order (main
+    list ascending, then globals) are kept; the replaced XLA
+    `_winner_lists` kept the lowest-NUMBERED chunks instead.
+    Either way overflow pixels render as background and the
+    overflow is counted in wstat lane 1 — the policy only
+    affects WHICH pixels degrade, pinned by
+    tests/test_deferred.py::test_winner_cap_overflow_retention.
+    """
+    K = _CHUNK
+    nc = p["nc"]
+    wcap = p["wcap"]
+    cw = jnp.where(covered, jax.lax.div(slot_col, K), -1)  # [P, 1]
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, wcap), 1)
+
+    def wloop(ci, carry):
+        wl, cnt = carry
+        c = chunk_of(ci)
+        win = jnp.sum((cw == c).astype(jnp.int32)) > 0
+        keep = win & (cnt < wcap)
+        wl = jnp.where(keep & (wiota == cnt), c, wl)
+        if wsc is not None:
+            @pl.when(keep)
+            def _():
+                wsc[0, cnt] = c
+        return wl, cnt + win.astype(jnp.int32)
+
+    return jax.lax.fori_loop(
+        0, n_total, wloop,
+        (jnp.full((1, wcap), nc, jnp.int32), jnp.int32(0)))
 
 
 def _winner_lists(slot, p):
@@ -877,10 +909,14 @@ def _shade_rows(recm, px, py, C):
                 wokf=wokf)
 
 
-def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
+def _extract_loop(p, b, bs, wcnt, chunk_at, slot_col, dyn_hbm, ids_hbm,
                   sta_hbm, tri_buf, sems):
     """Accumulate the winners' [rec, P] record slab over winning chunks
     (one-hot MXU matmul per chunk, double-buffered triple of DMAs).
+
+    `chunk_at(ci)` returns the ci-th winning chunk id (a scalar read
+    from the winner-list SMEM input in pass B/bwd, or from the fused
+    kernel's SMEM winner scratch).
 
     The record table is split three ways: dyn_hbm [B, 16, Fpad] carries
     the per-view coord rows (12 used), ids_hbm [1, 8, Fpad] the STATIC
@@ -896,7 +932,7 @@ def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
     def dmas(slot_i, ci):
         # all three sections are 8-sublane aligned in offset AND size
         # (dyn 16 rows / ids 8 rows / attrs rec-24 rows)
-        k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
+        k0 = pl.multiple_of(chunk_at(ci) * K, K)
         return (
             pltpu.make_async_copy(
                 dyn_hbm.at[b, :, pl.ds(k0, K)],
@@ -924,7 +960,7 @@ def _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col, dyn_hbm, ids_hbm,
 
         for d in dmas(sl, ci):
             d.wait()
-        c = wlist_ref[0, 0, 0, ci]
+        c = chunk_at(ci)
         onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
         # HIGHEST: bf16 would round face/edge ids > 256 to even and
         # quantize coords
@@ -987,31 +1023,11 @@ def _make_passb_kernel(p, C, compact=False):
                 pix_ref[0, 0, r:r + 1] = zero
 
         def body(tri_buf, sems):
-            recm = _extract_loop(p, b, bs, wcnt, wlist_ref, slot_col,
-                                 dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems)
-            px, py = _pix_ndc(p, t)
-            f = _shade_rows(recm, px, py, C)
-            m = f["m"]
-            zero = jnp.zeros((1, _PIX), jnp.float32)
-            pix_ref[0, 0, 0:1] = jnp.where(m, f["u"], zero)
-            pix_ref[0, 0, 1:2] = jnp.where(m, f["v"], zero)
-            pix_ref[0, 0, 2:3] = jnp.where(m, f["zw"], zero)
-            for k in range(3):
-                pix_ref[0, 0, 3 + k:4 + k] = f["sx"][k]
-                pix_ref[0, 0, 6 + k:7 + k] = f["sy"][k]
-            # single-row stores only: multi-row ref stores at unaligned
-            # sublane offsets are rejected by Mosaic
-            featm = jnp.where(m, f["feat"], jnp.zeros((C, _PIX),
-                                                      jnp.float32))
-            for c in range(C):
-                pix_ref[0, 0, 9 + c:10 + c] = featm[c:c + 1]
-            pix_ref[0, 0, 9 + C:10 + C] = f["idf"]
-            for k in range(3):                           # eids
-                pix_ref[0, 0, 10 + C + k:11 + C + k] = recm[17 + k:18 + k]
-            pix_ref[0, 0, 13 + C:14 + C] = f["wokf"]
-            rows_used, rows_out = p["rows_used"], p["rows_out"]
-            for r in range(rows_used, rows_out):
-                pix_ref[0, 0, r:r + 1] = zero
+            recm = _extract_loop(p, b, bs, wcnt,
+                                 lambda ci: wlist_ref[0, 0, 0, ci],
+                                 slot_col, dyn_hbm, ids_hbm, sta_hbm,
+                                 tri_buf, sems)
+            _shade_write(p, C, recm, t, pix_ref)
 
         @pl.when(wcnt > 0)
         def _():
@@ -1019,6 +1035,137 @@ def _make_passb_kernel(p, C, compact=False):
                 body,
                 tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
                 sems=pltpu.SemaphoreType.DMA((2, 3)),
+            )
+
+    return kernel
+
+
+def _shade_write(p, C, recm, t, pix_ref):
+    """Pass-B epilogue: shade the extracted records and store the
+    output rows (shared by the pass-B and fused A+B kernels)."""
+    px, py = _pix_ndc(p, t)
+    f = _shade_rows(recm, px, py, C)
+    m = f["m"]
+    zero = jnp.zeros((1, _PIX), jnp.float32)
+    pix_ref[0, 0, 0:1] = jnp.where(m, f["u"], zero)
+    pix_ref[0, 0, 1:2] = jnp.where(m, f["v"], zero)
+    pix_ref[0, 0, 2:3] = jnp.where(m, f["zw"], zero)
+    for k in range(3):
+        pix_ref[0, 0, 3 + k:4 + k] = f["sx"][k]
+        pix_ref[0, 0, 6 + k:7 + k] = f["sy"][k]
+    # single-row stores only: multi-row ref stores at unaligned
+    # sublane offsets are rejected by Mosaic
+    featm = jnp.where(m, f["feat"], jnp.zeros((C, _PIX), jnp.float32))
+    for c in range(C):
+        pix_ref[0, 0, 9 + c:10 + c] = featm[c:c + 1]
+    pix_ref[0, 0, 9 + C:10 + C] = f["idf"]
+    for k in range(3):                           # eids
+        pix_ref[0, 0, 10 + C + k:11 + C + k] = recm[17 + k:18 + k]
+    pix_ref[0, 0, 13 + C:14 + C] = f["wokf"]
+    rows_used, rows_out = p["rows_used"], p["rows_out"]
+    for r in range(rows_used, rows_out):
+        pix_ref[0, 0, r:r + 1] = zero
+
+
+def _make_fused_kernel(p, C, compact=False):
+    """Fused pass A + pass B: one grid step per (view, tile) does
+    visibility, in-kernel winner compaction, record extraction, and
+    shading — one set of per-step grid/DMA fixed costs instead of two,
+    and the slot map / winner list never round-trip to HBM between the
+    passes (they are still written as outputs for the BACKWARD kernel,
+    which re-extracts winners from them). The winning chunk ids are
+    staged in an SMEM scratch by the compaction loop so the extraction
+    DMAs can read them as scalars.
+    """
+    nc = p["nc"]
+    tiles_x = p["tiles_x"]
+    K = _CHUNK
+    rows_out = p["rows_out"]
+    wcap = p["wcap"]
+
+    def kernel(*refs):
+        if compact:
+            (tlist_ref, meta_ref, list_ref, glob_ref, anch_ref, taba_hbm,
+             dyn_hbm, ids_hbm, sta_hbm, init_ref,
+             slot_ref, wlist_ref, wstat_ref, pix_ref) = refs
+            del init_ref          # aliased zero fill of pix (ANY space)
+        else:
+            (meta_ref, list_ref, glob_ref, anch_ref, taba_hbm,
+             dyn_hbm, ids_hbm, sta_hbm,
+             slot_ref, wlist_ref, wstat_ref, pix_ref) = refs
+        b = pl.program_id(0)
+        if compact:
+            t = tlist_ref[b, pl.program_id(1)]
+        else:
+            t = pl.program_id(1)
+        ty = t // tiles_x
+        tx = t % tiles_x
+        bs = jnp.minimum(b, sta_hbm.shape[0] - 1)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 1), 0)
+        col = jax.lax.rem(pidx, TILE_W).astype(jnp.float32)
+        row = (pidx // TILE_W).astype(jnp.float32)
+        colK = jnp.broadcast_to(col, (_PIX, K))
+        rowK = jnp.broadcast_to(row, (_PIX, K))
+        tx0 = (tx * TILE_W).astype(jnp.float32) + 0.5
+        ty0 = (ty * TILE_H).astype(jnp.float32) + 0.5
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
+
+        start = meta_ref[0, 0, 0, 0]
+        end = meta_ref[0, 0, 0, 1]
+        gcnt = meta_ref[0, 0, 0, 2]
+        n_main = end - start
+        n_total = n_main + gcnt
+
+        def chunk_of(ci):
+            return jnp.where(ci < n_main, list_ref[0, 0, start + ci],
+                             glob_ref[0, 0, jnp.maximum(ci - n_main, 0)])
+
+        zero = jnp.zeros((1, _PIX), jnp.float32)
+
+        @pl.when(n_total == 0)
+        def _():
+            slot_ref[0, 0] = jnp.full((_PIX, 1), -1, jnp.int32)
+            wlist_ref[0, 0] = jnp.full((1, wcap), nc, jnp.int32)
+            wstat_ref[0, 0] = jnp.zeros((1, 8), jnp.int32)
+            for r in range(rows_out):
+                pix_ref[0, 0, r:r + 1] = zero
+
+        def body(tri_a, sems_a, tri_b, sems_b, wsc):
+            slot_col, covered = _vis_tile(
+                p, n_total, chunk_of, anch_ref, taba_hbm, b, tx0, ty0,
+                colK, rowK, k_iota, tri_a, sems_a)
+            slot_ref[0, 0] = slot_col
+            wl, cnt = _winner_compact(p, n_total, chunk_of, slot_col,
+                                      covered, wsc=wsc)
+            wlist_ref[0, 0] = wl
+            st_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+            wstat_ref[0, 0] = jnp.where(
+                st_iota == 0, jnp.minimum(cnt, wcap),
+                jnp.where(st_iota == 1, jnp.maximum(cnt - wcap, 0), 0))
+            wcnt = jnp.minimum(cnt, wcap)
+
+            @pl.when(wcnt == 0)
+            def _():
+                for r in range(rows_out):
+                    pix_ref[0, 0, r:r + 1] = zero
+
+            @pl.when(wcnt > 0)
+            def _():
+                recm = _extract_loop(p, b, bs, wcnt,
+                                     lambda ci: wsc[0, ci],
+                                     slot_col, dyn_hbm, ids_hbm, sta_hbm,
+                                     tri_b, sems_b)
+                _shade_write(p, C, recm, t, pix_ref)
+
+        @pl.when(n_total > 0)
+        def _():
+            pl.run_scoped(
+                body,
+                tri_a=pltpu.VMEM((_PASSA_DEPTH, 16, K), jnp.float32),
+                sems_a=pltpu.SemaphoreType.DMA((_PASSA_DEPTH,)),
+                tri_b=pltpu.VMEM((2, p["rec"], K), jnp.float32),
+                sems_b=pltpu.SemaphoreType.DMA((2, 3)),
+                wsc=pltpu.SMEM((1, wcap), jnp.int32),
             )
 
     return kernel
@@ -1164,8 +1311,10 @@ def _make_bwd_kernel(p, C, compact=False):
         @pl.when(n_iter > 0)
         def _():
             # ---- re-extract winners' records, run the VJP
-            recm = _extract_loop(p, b, bs, n_iter, wlist_ref, slot_col,
-                                 dyn_hbm, ids_hbm, sta_hbm, tri_buf, sems_t)
+            recm = _extract_loop(p, b, bs, n_iter,
+                                 lambda ci: wlist_ref[0, 0, 0, ci],
+                                 slot_col, dyn_hbm, ids_hbm, sta_hbm,
+                                 tri_buf, sems_t)
             px, py = _pix_ndc(p, t)
             coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
             zero = jnp.zeros((1, _PIX), jnp.float32)
@@ -1249,7 +1398,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                       global_cap: int = 64, rows_budget: int | None = None,
                       winner_cap: int = 128, tiles_budget: int | None = None,
                       shared_attr: bool = False, interpret: bool = False,
-                      projected: bool = False, tiled: bool = False):
+                      projected: bool = False, tiled: bool = False,
+                      fused: bool | None = None):
     """Cached custom_vjp'd core for one (topology, config).
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
@@ -1275,9 +1425,13 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     V = topo.num_vertices
     if max_span is None:
         max_span = default_max_span(F, H, W)
+    if fused is None:
+        # fused A+B kernel (one grid pass instead of two): env-default
+        # until the on-hardware A/B settles it
+        fused = os.environ.get("FMHR_FUSED_AB", "0") == "1"
     key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
            winner_cap, tiles_budget, shared_attr, interpret, projected,
-           tiled)
+           tiled, fused)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1467,62 +1621,101 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             pl.BlockSpec((1, 1, 1, 8), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        passa_args = (meta, chunk_list[:, None], g_list[:, None],
-                      anchors, tab_a)
-        if compact:
-            passa_args = (tlist,) + passa_args
-        slot, wlist4, wstat = pl.pallas_call(
-            _make_passa_kernel(p, compact=compact),
-            out_shape=[
-                jax.ShapeDtypeStruct((B, Tout, _PIX, 1), jnp.int32),
-                jax.ShapeDtypeStruct((B, Tout, 1, p["wcap"]), jnp.int32),
-                jax.ShapeDtypeStruct((B, Tout, 1, 8), jnp.int32),
-            ],
-            interpret=interpret,
-            **_gridspec(passa_in, passa_out),
-        )(*passa_args)
-
-        wlist = wlist4[:, :, 0]                          # [B, Tout, wcap]
-        wcnt = wstat[:, :, 0, 0]                         # [B, Tout]
-        # (compact mode: unvisited tiles' wcnt is uninitialized memory —
-        # only ever read through tlist, where every entry was visited)
-        wmeta = jnp.stack(
-            [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
-             jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]
-
-        # ---- pass B: extract winner records + interpolate in-kernel
-        passb_in = [
-            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, p["wcap"]),
-                         lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
         passb_out = pl.BlockSpec((1, 1, rows_out, _PIX),
                                  lambda b, t: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM)
-        passb_args = (wmeta, wlist[:, :, None], slot,
-                      tab_dyn, tab_ids, tab_sta)
-        passb_kw = {}
-        if compact:
-            pix_init = jnp.zeros((B, Tout, rows_out, _PIX), jnp.float32)
-            passb_in = passb_in + [pl.BlockSpec(memory_space=pl.ANY)]
-            passb_args = (tlist,) + passb_args + (pix_init,)
-            # arg index counts the scalar-prefetch operand
-            passb_kw["input_output_aliases"] = {7: 0}
-        outf = pl.pallas_call(
-            _make_passb_kernel(p, C, compact=compact),
-            out_shape=jax.ShapeDtypeStruct((B, Tout, rows_out, _PIX),
-                                           jnp.float32),
-            interpret=interpret,
-            **_gridspec(passb_in, passb_out),
-            **passb_kw,
-        )(*passb_args)
+        if fused:
+            # ---- fused A+B: one grid step per (view, tile) does
+            # visibility + winner compaction + extraction + shading
+            f_in = passa_in + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+            f_out = passa_out + [passb_out]
+            f_args = (meta, chunk_list[:, None], g_list[:, None],
+                      anchors, tab_a, tab_dyn, tab_ids, tab_sta)
+            f_kw = {}
+            if compact:
+                pix_init = jnp.zeros((B, Tout, rows_out, _PIX),
+                                     jnp.float32)
+                f_in = f_in + [pl.BlockSpec(memory_space=pl.ANY)]
+                f_args = (tlist,) + f_args + (pix_init,)
+                # input index counts the scalar-prefetch operand;
+                # pix is output 3
+                f_kw["input_output_aliases"] = {9: 3}
+            slot, wlist4, wstat, outf = pl.pallas_call(
+                _make_fused_kernel(p, C, compact=compact),
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, Tout, _PIX, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, Tout, 1, p["wcap"]),
+                                         jnp.int32),
+                    jax.ShapeDtypeStruct((B, Tout, 1, 8), jnp.int32),
+                    jax.ShapeDtypeStruct((B, Tout, rows_out, _PIX),
+                                         jnp.float32),
+                ],
+                interpret=interpret,
+                **_gridspec(f_in, f_out),
+                **f_kw,
+            )(*f_args)
+            wlist = wlist4[:, :, 0]
+            wcnt = wstat[:, :, 0, 0]
+            wmeta = jnp.stack(
+                [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
+                 jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]
+        else:
+            passa_args = (meta, chunk_list[:, None], g_list[:, None],
+                          anchors, tab_a)
+            if compact:
+                passa_args = (tlist,) + passa_args
+            slot, wlist4, wstat = pl.pallas_call(
+                _make_passa_kernel(p, compact=compact),
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, Tout, _PIX, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, Tout, 1, p["wcap"]),
+                                         jnp.int32),
+                    jax.ShapeDtypeStruct((B, Tout, 1, 8), jnp.int32),
+                ],
+                interpret=interpret,
+                **_gridspec(passa_in, passa_out),
+            )(*passa_args)
+
+            wlist = wlist4[:, :, 0]                      # [B, Tout, wcap]
+            wcnt = wstat[:, :, 0, 0]                     # [B, Tout]
+            # (compact mode: unvisited tiles' wcnt is uninitialized
+            # memory — only ever read through tlist, where every entry
+            # was visited)
+            wmeta = jnp.stack(
+                [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
+                 jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]
+
+            # ---- pass B: extract winner records + interpolate in-kernel
+            passb_in = [
+                pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, p["wcap"]),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, _PIX, 1), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            passb_args = (wmeta, wlist[:, :, None], slot,
+                          tab_dyn, tab_ids, tab_sta)
+            passb_kw = {}
+            if compact:
+                pix_init = jnp.zeros((B, Tout, rows_out, _PIX),
+                                     jnp.float32)
+                passb_in = passb_in + [pl.BlockSpec(memory_space=pl.ANY)]
+                passb_args = (tlist,) + passb_args + (pix_init,)
+                # arg index counts the scalar-prefetch operand
+                passb_kw["input_output_aliases"] = {7: 0}
+            outf = pl.pallas_call(
+                _make_passb_kernel(p, C, compact=compact),
+                out_shape=jax.ShapeDtypeStruct(
+                    (B, Tout, rows_out, _PIX), jnp.float32),
+                interpret=interpret,
+                **_gridspec(passb_in, passb_out),
+                **passb_kw,
+            )(*passb_args)
         if compact:
             outf = outf[:, :T]
 
@@ -2013,7 +2206,8 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                             aa_budget=None, interpret: bool = False,
                             mesh=None, views_axis: str = "views",
                             with_counters: bool = False,
-                            layout: str = "image"):
+                            layout: str = "image",
+                            fused: bool | None = None):
     """render_pixels_deferred with the per-view projection INSIDE the
     core: verts [V, 3] rest positions, mats [B, 4, 4] row-vector
     view-projection matrices (w2c @ proj, transposed convention as in
@@ -2034,7 +2228,7 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                              tiles_budget=tiles_budget,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret, projected=True,
-                             tiled=tiled)
+                             tiled=tiled, fused=fused)
     if mesh is not None and views_axis in mesh.axis_names:
         try:
             from jax import shard_map

@@ -935,3 +935,69 @@ def test_tiles_budget_overflow_counted():
     covered1 = ids1 > 0
     np.testing.assert_array_equal(ids1[covered1], ids0[covered1])
     assert (np.asarray(f1)[~covered1] == 0.0).all()
+
+
+def test_fused_ab_matches_two_pass():
+    """The fused A+B kernel (visibility + winner compaction + extraction
+    + shading in ONE grid pass, winners staged through SMEM scratch)
+    bit-matches the two-pass pipeline — forward, counters, and
+    gradients, dense and compacted, image and tiled layouts."""
+    from fmhr_tpu.raster.deferred import (
+        render_pixels_projected, audit_active_tiles, tile_images,
+        get_deferred_core, DeferredTopology)
+    from fmhr_tpu.raster.antialias import apply_antialias_tiled
+
+    res = (32, 256)
+    verts, faces, mats = _proj_scene(res=res)
+    V = verts.shape[0]
+    attr = jnp.asarray(
+        np.random.default_rng(0).standard_normal((V, 5)), jnp.float32)
+    topo = DeferredTopology.build(faces, V)
+    vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
+    clip = jnp.einsum("vj,bjc->bvc", vh, mats)
+    _, ta_budget = audit_active_tiles(clip, faces, res, max_span=8)
+
+    H, W = res
+    for tb in (None, ta_budget):
+        core0 = get_deferred_core(topo, 5, H, W, max_span=8,
+                                  tiles_budget=tb, shared_attr=True,
+                                  interpret=True, projected=True,
+                                  fused=False)
+        core1 = get_deferred_core(topo, 5, H, W, max_span=8,
+                                  tiles_budget=tb, shared_attr=True,
+                                  interpret=True, projected=True,
+                                  fused=True)
+        p0, i0, c0 = core0(verts, mats, attr)
+        p1, i1, c1 = core1(verts, mats, attr)
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+        gv0, gm0, ga0 = jax.grad(
+            lambda v, m, a: jnp.sum(core0(v, m, a)[0] ** 2),
+            argnums=(0, 1, 2))(verts, mats, attr)
+        gv1, gm1, ga1 = jax.grad(
+            lambda v, m, a: jnp.sum(core1(v, m, a)[0] ** 2),
+            argnums=(0, 1, 2))(verts, mats, attr)
+        np.testing.assert_array_equal(np.asarray(gv0), np.asarray(gv1))
+        np.testing.assert_array_equal(np.asarray(gm0), np.asarray(gm1))
+        np.testing.assert_array_equal(np.asarray(ga0), np.asarray(ga1))
+
+    # tiled layout through the public API
+    cot = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, res[0], res[1], 3)), jnp.float32)
+    cot_t = tile_images(cot, res)
+
+    def loss_tiled(v, a, fu):
+        tr = render_pixels_projected(
+            v, mats, a, topo, res, max_span=8, interpret=True,
+            layout="tiled", tiles_budget=ta_budget, fused=fu)
+        img = apply_antialias_tiled(tr["feat"][:, :, :3], tr["aa"])
+        return jnp.sum(img * cot_t)
+
+    l0, g0 = jax.value_and_grad(loss_tiled, argnums=(0,))(
+        verts, attr, False)
+    l1, g1 = jax.value_and_grad(loss_tiled, argnums=(0,))(
+        verts, attr, True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(g0[0]), np.asarray(g1[0]))
