@@ -587,9 +587,14 @@ def run_ham(
     while ka < total_a:
         end = min(total_a, ka + seg_a)
         try:
-            params_a, state_a, losses_seg = runner_a(
+            # reassign only after the host sync: an async-dispatch OOM
+            # surfaces AT the sync, and the retry must re-run the
+            # segment from the segment-start params, not half-applied
+            # ones (pinned by test_ham_oom_fallback_halves_microbatch)
+            new_params, new_state, losses_seg = runner_a(
                 params_a, state_a, batches_a[ka:end], data_a)
             jax.block_until_ready(losses_seg)
+            params_a, state_a = new_params, new_state
         except Exception as e:  # noqa: BLE001 — OOM fallback only
             if not _is_memory_error(e) or m_a <= 1:
                 raise
@@ -788,11 +793,13 @@ def run_ham(
     while k < total_steps:
         end = min(total_steps, k + seg_len)
         try:
-            params_b, state_b, losses_seg, counters_seg = runner_b(
+            # reassign after the sync — see the stage-A comment
+            new_params, new_state, losses_seg, counters_seg = runner_b(
                 params_b, state_b, batches_b[k:end], steps_all[k:end],
                 data_b
             )
             jax.block_until_ready(losses_seg)
+            params_b, state_b = new_params, new_state
         except Exception as e:  # noqa: BLE001 — OOM fallback only
             if not _is_memory_error(e) or m_b <= 1:
                 raise

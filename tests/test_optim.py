@@ -217,6 +217,65 @@ def test_ham_microbatch_grads():
             np.asarray(out_full["vertices"]), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_ham_oom_fallback_halves_microbatch():
+    """A device OOM mid-training degrades to view micro-batching instead
+    of killing the run (VERDICT r3 #6). Injects a fake RESOURCE_EXHAUSTED
+    into the first segment of each HAM stage (at the host-sync point,
+    where real PJRT allocation failures surface) and asserts the run
+    warns, halves the microbatch, retries the same segment, and lands on
+    the unchunked trajectory (micro-batching is exact — pinned separately
+    by test_ham_microbatch_grads)."""
+    res = 32
+    m, verts_gt, faces, imgs, gray, masks, w2cs, projs = _synthetic_scene(res, 4)
+    rng = np.random.default_rng(11)
+    verts0 = verts_gt + rng.normal(
+        size=verts_gt.shape).astype(np.float32) * 0.003
+
+    kw = dict(width=res, height=res, epoch_albedo=2, epoch_sfs=3,
+              sfs_weight=50.0, lap_weight=200.0, albedo_weight=1.0,
+              mask_weight=10.0, edge_weight=5e4, delta_weight=100.0,
+              batch=4, lr=5e-4, albedo_lr=0.01, sh_lr=0.005)
+    out_clean = run_ham(imgs, gray, masks, w2cs, projs, verts0, faces,
+                        HamConfig(view_microbatch=None, **kw))
+
+    # raise once at the first host-sync of each training segment loop
+    # (identified by the caller's `losses_seg` local — the per-segment
+    # sync where real PJRT allocation failures surface): one fake OOM
+    # into stage A's first segment and one into stage B's.
+    real_sync = jax.block_until_ready
+    raised: set[int] = set()
+
+    def fake_sync(x):
+        import sys as _sys
+
+        frame = _sys._getframe(1)
+        site = frame.f_lineno
+        if "losses_seg" in frame.f_locals and site not in raised:
+            raised.add(site)
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected test OOM")
+        return real_sync(x)
+
+    import fmhr_tpu.optim.ham as ham_mod
+
+    old = ham_mod.jax.block_until_ready
+    ham_mod.jax.block_until_ready = fake_sync
+    try:
+        with pytest.warns(UserWarning, match="out of device memory"):
+            out_oom = run_ham(imgs, gray, masks, w2cs, projs, verts0,
+                              faces, HamConfig(view_microbatch=None, **kw))
+    finally:
+        ham_mod.jax.block_until_ready = old
+
+    assert len(raised) == 2  # one injected OOM per stage
+    np.testing.assert_allclose(
+        np.asarray(out_oom["losses_sfs"]),
+        np.asarray(out_clean["losses_sfs"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_oom["vertices"]),
+        np.asarray(out_clean["vertices"]), rtol=1e-4, atol=1e-5)
+
+
 def test_resolve_view_microbatch():
     from fmhr_tpu.optim.ham import resolve_view_microbatch
 
