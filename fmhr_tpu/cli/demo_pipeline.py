@@ -208,16 +208,32 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
             )
 
         def eval_subset(idx, tag):
+            # render fps mirrors the reference's `1/(infer_time/num)`
+            # (`/root/reference/neural_render.py:313-320`), timed to
+            # data-on-host; the first call (jit compile) is warmed up on
+            # idx[0] before the clock starts.
+            import time as _time
+
             rng = jax.random.PRNGKey(0)
             ps, rps, ss = [], [], []
+            infer_time = 0.0
+            warm = render_one(
+                jnp.asarray(views_r.rays[idx[0]:idx[0] + 1]),
+                jnp.asarray(views_r.w2cs[idx[0]:idx[0] + 1]),
+                jnp.asarray(views_r.projs[idx[0]:idx[0] + 1]),
+                jax.random.PRNGKey(1))
+            np.asarray(warm[0])
             for k in idx:
                 rng, sub = jax.random.split(rng)
-                pred, masks_p = render_one(
-                    jnp.asarray(views_r.rays[k:k + 1]),
-                    jnp.asarray(views_r.w2cs[k:k + 1]),
-                    jnp.asarray(views_r.projs[k:k + 1]), sub)
-                pr = np.asarray(pred[0] * masks_p[0])
+                ray_k = jnp.asarray(views_r.rays[k:k + 1])
+                w2c_k = jnp.asarray(views_r.w2cs[k:k + 1])
+                proj_k = jnp.asarray(views_r.projs[k:k + 1])
+                t0 = _time.perf_counter()
+                pred, masks_p = render_one(ray_k, w2c_k, proj_k, sub)
+                pr_raw = np.asarray(pred[0])
+                infer_time += _time.perf_counter() - t0
                 m = np.asarray(masks_p[0])
+                pr = pr_raw * m
                 gt = imgs_rgb[k] * m
                 ps.append(psnr(gt, pr))
                 rps.append(psnr_reference(gt, pr, m))
@@ -227,12 +243,14 @@ def main(data_path: str, scan_id: int = 1, num: int = 16,
                     (pr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
             return {"psnr": float(np.mean(ps)),
                     "ref_psnr": float(np.mean(rps)),
-                    "ssim": float(np.mean(ss))}
+                    "ssim": float(np.mean(ss)),
+                    "fps": float(len(idx) / max(infer_time, 1e-9))}
 
         results["nr_train_views"] = eval_subset(train_idx, "train")
         tv = results["nr_train_views"]
         print(f"[4/4] NR train-view: PSNR {tv['psnr']:.3f} dB | "
-              f"refPSNR {tv['ref_psnr']:.3f} | SSIM {tv['ssim']:.4f}")
+              f"refPSNR {tv['ref_psnr']:.3f} | SSIM {tv['ssim']:.4f} | "
+              f"render fps {tv['fps']:.2f}")
         if hold_idx:
             results["nr_novel_views"] = eval_subset(hold_idx, "novel")
             nv = results["nr_novel_views"]
