@@ -142,9 +142,14 @@ def main() -> None:
     # kernels skip background tiles' grid steps, bit-identically).
     # FMHR_TILES_COMPACT=0 restores the dense grid for A/B.
     tiles_budget = None
+    tiles_frac = 1.0
     if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
+        from fmhr_tpu.raster.deferred import dense_tile_count
+
         _, tiles_budget = audit_active_tiles(
             project_verts(verts0, w2cs, projs), faces_j, (H, W))
+        tiles_frac = tiles_budget / dense_tile_count(
+            int(faces_j.shape[0]), (H, W))
 
     # FMHR_AA_BUDGET=audit switches the AA pass to the compact-pair path,
     # sized 2x from a concrete render of the start mesh (bit-identical to
@@ -181,7 +186,8 @@ def main() -> None:
     # resolves to no chunking (the whole step fits).
     from fmhr_tpu.optim.ham import (resolve_view_microbatch,
                                     accumulate_view_grads)
-    mb = resolve_view_microbatch("auto", n_views, H, W)
+    mb = resolve_view_microbatch("auto", n_views, H, W,
+                                 tile_active_frac=tiles_frac)
 
     # imgs/masks are step ARGUMENTS, not closure constants: baking ~44MB
     # of pixel data into the program bloats the executable the tunneled

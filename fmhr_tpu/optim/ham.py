@@ -216,10 +216,18 @@ def _device_memory_budget() -> float:
 
 
 def resolve_view_microbatch(setting, batch: int, height: int,
-                            width: int) -> int:
+                            width: int, tile_active_frac: float = 1.0) -> int:
     """Views per micro-step. Returns `batch` (no chunking) when the whole
     step's residual estimate fits the budget; otherwise the largest
     divisor of `batch` that fits (>=1). `FMHR_VIEW_MICROBATCH` overrides.
+
+    `tile_active_frac` is (active tiles)/(dense tiles) from
+    `audit_active_tiles`: the _BYTES_PER_RAY anchor was measured on the
+    DENSE grid, and the tile-shaped residuals (the bulk of the footprint
+    — saved pix/slot buffers, pass-B output, cotangents) shrink with the
+    compacted grid. 20% of the estimate is held tile-independent
+    (image-layout inputs, face tables); a real OOM still degrades
+    gracefully via the segment-level fallback.
     """
     env = os.environ.get("FMHR_VIEW_MICROBATCH")
     if env:
@@ -231,7 +239,9 @@ def resolve_view_microbatch(setting, batch: int, height: int,
     else:
         if jax.default_backend() == "cpu":
             return batch  # tests/interpret mode: host RAM, no HBM wall
-        fit = _device_memory_budget() / (_BYTES_PER_RAY * height * width)
+        frac = min(1.0, max(0.0, float(tile_active_frac)))
+        per_ray = _BYTES_PER_RAY * (0.2 + 0.8 * frac)
+        fit = _device_memory_budget() / (per_ray * height * width)
         m = max(1, min(batch, int(fit)))
     while batch % m:
         m -= 1
@@ -424,9 +434,13 @@ def run_ham(
     # the audited tile list removes them exactly (bit-identical,
     # tests/test_deferred.py::test_tiles_budget_matches_dense).
     # FMHR_TILES_COMPACT=0 restores the dense grid for A/B.
+    tiles_frac = 1.0
     if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
+        from ..raster.deferred import dense_tile_count
+
         _, tiles_budget = audit_active_tiles(clip0, faces_np, res)
         raster_kw["tiles_budget"] = tiles_budget
+        tiles_frac = tiles_budget / dense_tile_count(len(faces_np), res)
 
     sh_coeffs, albedo, valid_masks = sh_init(
         grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,
@@ -465,7 +479,8 @@ def run_ham(
         valid_masks_t = tile_images(valid_masks, res)
     px_total = float(cfg.height * cfg.width)
     mb = resolve_view_microbatch(cfg.view_microbatch, cfg.batch,
-                                 cfg.height, cfg.width)
+                                 cfg.height, cfg.width,
+                                 tile_active_frac=tiles_frac)
 
     def _masked_l1_t(pred, target, valid):
         # channel axis 2 ([B, T, C, P]); same value as _masked_l1

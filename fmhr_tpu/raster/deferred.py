@@ -2001,6 +2001,17 @@ def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
     return counts, min(budget, T)
 
 
+def dense_tile_count(num_faces: int, resolution) -> int:
+    """Dense kernel grid size T for this image size — the denominator of
+    the active-tile fraction `tiles_budget / T` (used to scale memory
+    estimates that were anchored on dense-grid buffer footprints)."""
+    H, W = resolution
+    F = _round_up(max(int(num_faces), 1), _CHUNK)
+    p = _plan(F, 0, 0, H, W, default_max_span(num_faces, H, W), 64,
+              quiet=True)
+    return int(p["T"])
+
+
 def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            *, max_span: int | None = None,
                            global_cap: int = 64, rows_budget: int | None = None,
