@@ -341,11 +341,17 @@ def main() -> None:
 
         from fmhr_tpu.utils.profiling import top_device_ops
 
+        # trace 3 SINGLE-step dispatches, not the scan chain: the
+        # chained trace is iters x every-op and its serialization from
+        # the tunneled device has wedged past the bench timeout
+        # (r4c_prod_trace, 2 attempts), while the r3 single-dispatch
+        # traces transferred fine. Same program, same attribution.
         tdir = tempfile.mkdtemp(prefix="fmhr_bench_trace_")
         with jax.profiler.trace(tdir):
-            _, _, _l = run_chain(params, state, imgs, masks)
+            for _ in range(3):
+                params, state, _l = step(params, state, imgs, masks)
             np.asarray(jax.device_get(_l))
-        rows, total = top_device_ops(tdir, n_iters=iters, top=30)
+        rows, total = top_device_ops(tdir, n_iters=3, top=30)
         if rows is None:
             print("[trace] no trace file found under", tdir,
                   file=sys.stderr)
