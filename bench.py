@@ -88,9 +88,15 @@ def main() -> None:
     import optax
 
     # Persistent compile cache: once a compile of the big step succeeds,
-    # later runs (and retries) reuse the executable.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+    # later runs (and retries) reuse the executable. The cache lives
+    # IN-REPO (committed) so the driver's fresh-environment invocation is
+    # warm too — round 4's official bench timed out purely on cold
+    # remote compiles (BENCH_r04.json rc=124; VERDICT r4 next-round #1).
+    cache_dir = os.environ.get(
+        "FMHR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_bench_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # Warm the device with a trivial program before compiling the large
@@ -308,17 +314,22 @@ def main() -> None:
     }
     state = opt.init(params)
 
-    # Stage the compiles: value_and_grad alone first, then the full step.
+    # Stage the compiles: value_and_grad alone first, then the full chain.
     # The tunneled remote compiler is markedly more reliable when the large
-    # program arrives after its main subgraph has been compiled once.
+    # program arrives after its main subgraph has been compiled once. The
+    # separate single-`step` compile of rounds <=4 is gone from the hot
+    # path (one fewer large cold compile); --trace compiles it on demand.
+    t_setup = time.perf_counter()
     l, g = jax.jit(vag)(params, imgs, masks)
     jax.block_until_ready(l)
+    print(f"[bench] vag compiled+ran in "
+          f"{time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
 
-    # warmup / compile (single step first: stages the big subgraphs)
-    params, state, loss = step(params, state, imgs, masks)
-    jax.block_until_ready(loss)
+    t_c = time.perf_counter()
     params, state, losses = run_chain(params, state, imgs, masks)
     jax.block_until_ready(losses)
+    print(f"[bench] chain compiled+ran in "
+          f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     params, state, losses = run_chain(params, state, imgs, masks)
@@ -333,50 +344,6 @@ def main() -> None:
     rays = n_views * H * W
     mrays = rays / dt / 1e6
     steps_per_s = 1.0 / dt
-
-    if args.trace:
-        # op-level attribution of the PRODUCTION step (stderr; stdout
-        # stays one JSON line for the driver)
-        import tempfile
-
-        from fmhr_tpu.utils.profiling import top_device_ops
-
-        # trace 3 SINGLE-step dispatches, not the scan chain: the
-        # chained trace is iters x every-op and its serialization from
-        # the tunneled device has wedged past the bench timeout
-        # (r4c_prod_trace, 2 attempts), while the r3 single-dispatch
-        # traces transferred fine. Same program, same attribution.
-        tdir = tempfile.mkdtemp(prefix="fmhr_bench_trace_")
-        with jax.profiler.trace(tdir):
-            for _ in range(3):
-                params, state, _l = step(params, state, imgs, masks)
-            np.asarray(jax.device_get(_l))
-        rows, total = top_device_ops(tdir, n_iters=3, top=30)
-        if rows is None:
-            print("[trace] no trace file found under", tdir,
-                  file=sys.stderr)
-        else:
-            print(f"[trace] device ms/step total {total:.2f} "
-                  f"(trace dir {tdir})", file=sys.stderr)
-            for name, ms, c in rows:
-                print(f"[trace] {ms:9.3f} ms x{c:<4d} {name[:90]}",
-                      file=sys.stderr)
-
-    # capacity-health + realized coverage at the final mesh (the demo
-    # preset must report all-zero overflow on a healthy run)
-    overflow = None
-    coverage = None
-    if use_tiled:
-        tr = render_scene(
-            verts0 + params["delta"], faces_j, w2cs, projs,
-            jnp.ones((V, 7), jnp.float32), (H, W), aa_topology=None,
-            rows_budget=rows_budget, tiles_budget=tiles_budget,
-            layout="tiled")
-        overflow = np.asarray(tr["counters"]).sum(0).tolist()
-        cov_ids = np.asarray(tr["ids"] > 0)
-        valid_np = np.asarray(tr["grid"]["valid"])
-        coverage = round(float((cov_ids & valid_np[None]).sum()
-                               / (n_views * H * W)), 4)
 
     out = {
         "metric": "Mrays/s/chip fwd+bwd rasterize+shade (HAM stage-B step)",
@@ -400,11 +367,62 @@ def main() -> None:
             "loss_first_last": [round(float(losses_np[0]), 4),
                                 round(float(losses_np[-1]), 4)],
             "fill": fill,
-            "coverage": coverage,
-            "overflow": overflow,
             "device": str(jax.devices()[0]),
         },
     }
+
+    # Provisional JSON line the moment the measurement exists (flushed):
+    # if an outer watchdog kills this process during the health/trace
+    # extras below, stdout already carries a parseable result line
+    # (round 4's official record was empty for exactly this reason).
+    out["extra"]["provisional"] = True
+    print(json.dumps(out), flush=True)
+    del out["extra"]["provisional"]
+
+    # capacity-health + realized coverage at the final mesh (the demo
+    # preset must report all-zero overflow on a healthy run)
+    if use_tiled:
+        tr = render_scene(
+            verts0 + params["delta"], faces_j, w2cs, projs,
+            jnp.ones((V, 7), jnp.float32), (H, W), aa_topology=None,
+            rows_budget=rows_budget, tiles_budget=tiles_budget,
+            layout="tiled")
+        out["extra"]["overflow"] = np.asarray(tr["counters"]).sum(0).tolist()
+        cov_ids = np.asarray(tr["ids"] > 0)
+        valid_np = np.asarray(tr["grid"]["valid"])
+        out["extra"]["coverage"] = round(
+            float((cov_ids & valid_np[None]).sum() / (n_views * H * W)), 4)
+
+    if args.trace:
+        # op-level attribution of the PRODUCTION step (stderr; stdout
+        # stays JSON lines for the driver)
+        import tempfile
+
+        from fmhr_tpu.utils.profiling import top_device_ops
+
+        # trace 3 SINGLE-step dispatches, not the scan chain: the
+        # chained trace is iters x every-op and its serialization from
+        # the tunneled device has wedged past the bench timeout
+        # (r4c_prod_trace, 2 attempts), while the r3 single-dispatch
+        # traces transferred fine. Same program, same attribution.
+        # Traced on THROWAWAY copies so the health report above is
+        # identical with and without --trace (ADVICE r4).
+        tdir = tempfile.mkdtemp(prefix="fmhr_bench_trace_")
+        t_params, t_state = params, state
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                t_params, t_state, _l = step(t_params, t_state, imgs, masks)
+            np.asarray(jax.device_get(_l))
+        rows, total = top_device_ops(tdir, n_iters=3, top=30)
+        if rows is None:
+            print("[trace] no trace file found under", tdir,
+                  file=sys.stderr)
+        else:
+            print(f"[trace] device ms/step total {total:.2f} "
+                  f"(trace dir {tdir})", file=sys.stderr)
+            for name, ms, c in rows:
+                print(f"[trace] {ms:9.3f} ms x{c:<4d} {name[:90]}",
+                      file=sys.stderr)
 
     if args.roofline:
         # winner pairs = distinct winning 128-face chunks per 8x128 tile
@@ -438,35 +456,81 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _run_streaming(argv, per_attempt: int) -> tuple[int | None, bool]:
+    """Run one worker attempt, forwarding its stdout JSON lines to OUR
+    stdout the moment they appear (so an outer watchdog that kills this
+    whole process still leaves a parseable line behind — the round-4
+    official bench record was empty for exactly this reason).
+
+    Returns (returncode | None on timeout, saw_json).
+    """
+    import selectors
+
+    proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ, "out")
+    sel.register(proc.stderr, selectors.EVENT_READ, "err")
+    deadline = time.monotonic() + per_attempt
+    saw_json = False
+    err_tail: list[str] = []
+    open_streams = 2
+    while open_streams and time.monotonic() < deadline:
+        for key, _ in sel.select(timeout=min(5.0, deadline - time.monotonic())):
+            line = key.fileobj.readline()
+            if not line:
+                sel.unregister(key.fileobj)
+                open_streams -= 1
+                continue
+            if key.data == "out":
+                if line.startswith("{"):
+                    print(line, end="", flush=True)
+                    saw_json = True
+            else:
+                err_tail.append(line)
+                sys.stderr.write(line)
+    if time.monotonic() >= deadline and proc.poll() is None:
+        proc.kill()
+        proc.wait()
+        return None, saw_json
+    return proc.wait(), saw_json
+
+
 def supervised() -> int:
     """Run the measurement in a child process with timeout + retries.
 
     The tunneled TPU backend occasionally hangs or faults on the first
     large compile; a poisoned claim recovers after a few minutes. The
-    child re-invokes this script with --_worker.
+    child re-invokes this script with --_worker. Budget (VERDICT r4 #1):
+    2 attempts x 420 s + 60 s backoff + one 300 s binned fallback
+    ~= 20 min worst case — and any attempt that got as far as the timed
+    loop has already streamed its JSON line to stdout, so even the worst
+    case usually leaves a result.
     """
-    attempts = int(os.environ.get("FMHR_BENCH_ATTEMPTS", "3"))
-    per_attempt = int(os.environ.get("FMHR_BENCH_TIMEOUT_S", "540"))
-    backoff = int(os.environ.get("FMHR_BENCH_BACKOFF_S", "240"))
+    attempts = int(os.environ.get("FMHR_BENCH_ATTEMPTS", "2"))
+    per_attempt = int(os.environ.get("FMHR_BENCH_TIMEOUT_S", "420"))
+    backoff = int(os.environ.get("FMHR_BENCH_BACKOFF_S", "60"))
     base = [sys.executable, os.path.abspath(__file__), "--_worker"] + sys.argv[1:]
     # last-resort attempt falls back to the pure-XLA binned rasterizer so a
     # Mosaic compile regression degrades the number instead of the round
-    plans = [base] * attempts + [base + ["--impl", "binned"]]
-    for i, argv in enumerate(plans):
-        try:
-            proc = subprocess.run(argv, timeout=per_attempt,
-                                  capture_output=True, text=True)
-            out = [ln for ln in proc.stdout.splitlines()
-                   if ln.startswith("{")]
-            if proc.returncode == 0 and out:
-                print(out[-1])
-                return 0
-            sys.stderr.write(proc.stderr[-2000:] + "\n")
-        except subprocess.TimeoutExpired:
+    plans = [(base, per_attempt)] * attempts + [
+        (base + ["--impl", "binned"],
+         int(os.environ.get("FMHR_BENCH_FALLBACK_TIMEOUT_S", "300")))]
+    any_json = False
+    for i, (argv, budget) in enumerate(plans):
+        rc, saw_json = _run_streaming(argv, budget)
+        any_json |= saw_json
+        if rc == 0 and saw_json:
+            return 0
+        if rc is None:
             sys.stderr.write(f"bench attempt {i + 1} timed out\n")
+            if saw_json:
+                # the measurement line is already on stdout; don't burn
+                # the remaining budget re-measuring what we have
+                return 0
         if i + 1 < len(plans):
             time.sleep(backoff)
-    return 1
+    return 0 if any_json else 1
 
 
 if __name__ == "__main__":

@@ -328,3 +328,36 @@ def test_sfs_shading_matches_reference(rng):
     ours = convmtx2(k, (6, 7)).toarray()
     theirs = ns["convmtx2"](k, np.array([6, 7])).toarray()
     np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_pose_optim_stage_matches_reference_execution(tmp_path):
+    """WHOLE-STAGE A/B (VERDICT r4 #4): run the reference's actual
+    `pose_optim.py` (torch CPU, `.cuda()` neutralized) on demo_data/1 and
+    compare loss curve + final keypoints against our `lax.scan`
+    triangulation fed the reference's own loaded inputs. The full
+    500-epoch record lives in PARITY.md (scripts/ab_pose_optim.py); this
+    test runs a 60-epoch prefix.
+    """
+    data = "/root/reference/demo_data"
+    if not os.path.isdir(os.path.join(data, "1", "pose")):
+        pytest.skip("demo_data not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    try:
+        import ab_pose_optim as ab
+    finally:
+        sys.path.pop(0)
+
+    epochs = 60
+    ref_pred, ref_losses, _, ref_inputs = ab.run_reference(
+        data, 1, epochs, batch=8)
+    our_pred, our_losses, _ = ab.run_ours(ref_inputs, epochs)
+
+    assert np.abs(ref_losses - np.asarray(our_losses)).max() < 5e-4
+    span = float(ref_pred.max() - ref_pred.min())
+    assert np.abs(ref_pred - our_pred).max() < 5e-3 * span
+
+    # loader parity on the same capture
+    ours_in = ab.run_ours_loader(data, 1)
+    for a, b in zip(ref_inputs, ours_in):
+        np.testing.assert_allclose(a, b, atol=1e-5)
