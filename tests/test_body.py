@@ -174,3 +174,113 @@ def test_mano_pkl_converter(tmp_path):
     assert m.posedirs.shape == ((J - 1) * 9, V * 3)
     assert m.parents[0] == 0
     assert m.is_rhand
+
+
+def _fake_chumpy_modules():
+    """Build stand-in `chumpy` / `chumpy.ch` modules whose Ch class
+    pickles exactly like real chumpy: default object pickling, i.e.
+    (class path 'chumpy.ch.Ch', state = instance __dict__), with the
+    payload ndarray under key 'x' plus chumpy's usual bookkeeping keys.
+    """
+    import types
+
+    ch_mod = types.ModuleType("chumpy.ch")
+
+    class Ch:
+        def __init__(self, x):
+            self.x = np.asarray(x)
+            self._dirty_vars = set()
+            self._itr = None
+            self._parents = {}
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    ch_mod.Ch = Ch
+    top = types.ModuleType("chumpy")
+    top.ch = ch_mod
+    top.Ch = Ch
+    return {"chumpy": top, "chumpy.ch": ch_mod}
+
+
+def test_mano_chumpy_pickle_roundtrip(tmp_path):
+    """VERDICT r4 #5: serialize the synthetic hand in the OFFICIAL MANO
+    pkl schema — chumpy `Ch` objects (pickled with their real on-disk
+    structure), scipy-sparse J_regressor, uint32 kintree root, protocol-2
+    pickle — and round-trip it through `body/convert.py`'s
+    chumpy-intercepting unpickler WITHOUT chumpy importable. The
+    recovered model must LBS-forward identically to the source model.
+    """
+    import pickle
+    import sys
+    import scipy.sparse as sp
+    from fmhr_tpu.body.synthetic import synthetic_hand_model
+
+    m = synthetic_hand_model(is_rhand=True)
+    V, J = m.num_vertices, m.num_joints
+
+    mods = _fake_chumpy_modules()
+    Ch = mods["chumpy"].Ch
+    data = {
+        # chumpy-wrapped fields, as in the official MANO pickles
+        "v_template": Ch(m.v_template.astype(np.float64)),
+        "shapedirs": Ch(m.shapedirs.astype(np.float64)),
+        "weights": Ch(m.lbs_weights.astype(np.float64)),
+        # converter expects original [V, 3, P] layout; our model stores
+        # the reshaped-transposed [P, V*3]
+        "posedirs": np.ascontiguousarray(
+            m.posedirs.T.reshape(V, 3, -1).astype(np.float64)),
+        "J_regressor": sp.csc_matrix(m.J_regressor.astype(np.float64)),
+        "kintree_table": np.stack([
+            np.concatenate([[4294967295],
+                            np.asarray(m.parents[1:], np.uint32)]),
+            np.arange(J, dtype=np.uint32),
+        ]),
+        "f": m.faces.astype(np.uint32),
+        "hands_mean": m.hand_mean.astype(np.float64),
+        "hands_components": m.hand_components.astype(np.float64),
+        "bs_style": "lbs",
+        "bs_type": "lrotmin",
+    }
+    src = tmp_path / "MANO_RIGHT.pkl"
+    sys.modules.update(mods)
+    try:
+        with open(src, "wb") as f:
+            pickle.dump(data, f, protocol=2)
+    finally:
+        for name in mods:
+            sys.modules.pop(name, None)
+
+    # the fixture is REALLY chumpy-format: plain pickle.load needs chumpy
+    with open(src, "rb") as f:
+        try:
+            pickle.load(f, encoding="latin1")
+            assert False, "expected ModuleNotFoundError without chumpy"
+        except ModuleNotFoundError:
+            pass
+
+    from fmhr_tpu.body.convert import convert
+    dst = tmp_path / "mano_right.npz"
+    convert(str(src), str(dst))
+    got = ManoModel.load_npz(str(dst))
+
+    np.testing.assert_allclose(got.v_template, m.v_template, atol=1e-6)
+    np.testing.assert_allclose(got.shapedirs, m.shapedirs, atol=1e-6)
+    np.testing.assert_allclose(got.posedirs, m.posedirs, atol=1e-6)
+    np.testing.assert_allclose(got.J_regressor, m.J_regressor, atol=1e-6)
+    np.testing.assert_allclose(got.lbs_weights, m.lbs_weights, atol=1e-6)
+    np.testing.assert_allclose(got.hand_mean, m.hand_mean, atol=1e-6)
+    np.testing.assert_allclose(got.hand_components, m.hand_components,
+                               atol=1e-6)
+    assert got.parents == m.parents and got.is_rhand
+    np.testing.assert_array_equal(got.faces, m.faces)
+
+    rng = np.random.default_rng(3)
+    go = jnp.asarray(rng.normal(size=(2, 3)) * 0.4)
+    hp = jnp.asarray(rng.normal(size=(2, (J - 1) * 3)) * 0.3)
+    betas = jnp.asarray(rng.normal(size=(2, m.shapedirs.shape[-1])))
+    v_ref, j_ref = mano_forward(m, go, hp, betas)
+    v_got, j_got = mano_forward(got, go, hp, betas)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_got), np.asarray(j_ref),
+                               atol=1e-5)

@@ -361,3 +361,76 @@ def test_pose_optim_stage_matches_reference_execution(tmp_path):
     ours_in = ab.run_ours_loader(data, 1)
     for a, b in zip(ref_inputs, ours_in):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_smplh_pickle_through_reference_loader(tmp_path):
+    """VERDICT r4 #5 (loader-execution half): serialize a synthetic
+    52-joint SMPL-H-schema pickle (num_pose=459, sparse J_regressor,
+    uint32 kintree root — the layout `models/smplx.py:203-234` accepts
+    with is_smplx=False), load it through the reference's OWN SMPLX
+    class (executed from /root/reference, torch CPU), and check its
+    forward LBS against our ManoModel built from the same arrays.
+    """
+    import importlib.util
+    import pickle
+
+    import scipy.sparse as sp
+
+    from fmhr_tpu.body.mano import ManoModel, mano_forward
+
+    rng = np.random.default_rng(11)
+    V, J, S = 40, 52, 10
+    v_template = rng.normal(size=(V, 3)).astype(np.float64)
+    shapedirs = (rng.normal(size=(V, 3, S)) * 0.03).astype(np.float64)
+    posedirs_vcp = (rng.normal(size=(V, 3, (J - 1) * 9)) * 0.01)
+    J_reg = rng.random((J, V))
+    J_reg /= J_reg.sum(1, keepdims=True)
+    weights = rng.random((V, J))
+    weights /= weights.sum(1, keepdims=True)
+    parents = [0] * J
+    for i in range(1, J):
+        parents[i] = (i - 1) // 2
+    kintree = np.stack([
+        np.concatenate([[4294967295], np.asarray(parents[1:], np.uint32)]),
+        np.arange(J, dtype=np.uint32),
+    ])
+    faces = rng.integers(0, V, (30, 3)).astype(np.uint32)
+
+    src = tmp_path / "SMPLH_MALE.pkl"
+    with open(src, "wb") as f:
+        pickle.dump({
+            "v_template": v_template, "shapedirs": shapedirs,
+            "posedirs": posedirs_vcp, "J_regressor": sp.csc_matrix(J_reg),
+            "weights": weights, "kintree_table": kintree, "f": faces,
+        }, f, protocol=2)
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_smplx", "/root/reference/models/smplx.py")
+    ref_smplx = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_smplx)
+    layer = ref_smplx.SMPLX(str(src), is_smplx=False)
+
+    B = 2
+    pose = rng.normal(size=(B, J * 3)).astype(np.float32) * 0.3
+    shape = rng.normal(size=(B, S)).astype(np.float32)
+    with torch.no_grad():
+        want_v, want_j = layer(torch.from_numpy(pose),
+                               torch.from_numpy(shape))
+
+    ours = ManoModel(
+        v_template=v_template.astype(np.float32),
+        shapedirs=shapedirs.astype(np.float32),
+        posedirs=np.reshape(posedirs_vcp, (-1, (J - 1) * 9)).T.astype(
+            np.float32),
+        J_regressor=J_reg.astype(np.float32),
+        lbs_weights=weights.astype(np.float32),
+        parents=tuple(parents), faces=faces.astype(np.int32),
+        hand_mean=np.zeros((J - 1) * 3, np.float32),
+        hand_components=np.eye((J - 1) * 3, dtype=np.float32),
+        is_rhand=True, tip_vertex_ids=(0, 1, 2, 3, 4),
+    )
+    got_v, got_j = mano_forward(
+        ours, jnp.asarray(pose[:, :3]), jnp.asarray(pose[:, 3:]),
+        jnp.asarray(shape), flat_hand_mean=True)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_j), want_j.numpy(), atol=2e-5)
