@@ -49,6 +49,10 @@ from ..raster.antialias import apply_antialias_tiled
 from ..raster.deferred import tile_images
 from ..utils.config import Config
 
+# Host-sync seam: the OOM-fallback test injects a fake RESOURCE_EXHAUSTED
+# here without mutating the global jax module (ADVICE r4).
+_sync = jax.block_until_ready
+
 
 @dataclasses.dataclass
 class HamConfig:
@@ -608,7 +612,7 @@ def run_ham(
             # ones (pinned by test_ham_oom_fallback_halves_microbatch)
             new_params, new_state, losses_seg = runner_a(
                 params_a, state_a, batches_a[ka:end], data_a)
-            jax.block_until_ready(losses_seg)
+            _sync(losses_seg)
             params_a, state_a = new_params, new_state
         except Exception as e:  # noqa: BLE001 — OOM fallback only
             if not _is_memory_error(e) or m_a <= 1:
@@ -813,7 +817,7 @@ def run_ham(
                 params_b, state_b, batches_b[k:end], steps_all[k:end],
                 data_b
             )
-            jax.block_until_ready(losses_seg)
+            _sync(losses_seg)
             params_b, state_b = new_params, new_state
         except Exception as e:  # noqa: BLE001 — OOM fallback only
             if not _is_memory_error(e) or m_b <= 1:

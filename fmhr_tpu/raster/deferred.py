@@ -1565,12 +1565,18 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 lambda a: jnp.nonzero(a, size=ta_cap, fill_value=T)[0]
             )(active).astype(jnp.int32)                  # [B, ta_cap]
             # active tiles beyond the budget are dropped; their main-list
-            # pairs join counter col 0 (fail-visible, like pair_cap)
+            # pairs AND their share of the per-view global chunks join
+            # counter col 0, so ANY tiles_budget overflow is guaranteed
+            # nonzero there — including tiles covered solely by
+            # oversize/global chunks (ADVICE r4: the one case the old
+            # main-pairs-only count could not see). Fail-visible, like
+            # pair_cap.
             ai = active.astype(jnp.int32)
             rank = jnp.cumsum(ai, axis=-1) - ai
             dropped = active & (rank >= ta_cap)
-            extra_drop = jnp.sum(
-                jnp.where(dropped, ends - starts, 0), axis=-1
+            extra_drop = (
+                jnp.sum(jnp.where(dropped, ends - starts, 0), axis=-1)
+                + g_cnt * jnp.sum(dropped.astype(jnp.int32), axis=-1)
             ).astype(jnp.int32)
             meta = jnp.pad(meta, ((0, 0), (0, 1), (0, 0), (0, 0)))
         Tout = T + 1 if compact else T

@@ -1001,3 +1001,33 @@ def test_fused_ab_matches_two_pass():
         verts, attr, True)
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     np.testing.assert_array_equal(np.asarray(g0[0]), np.asarray(g1[0]))
+
+
+def test_tiles_budget_overflow_counts_globals_only_tiles():
+    """ADVICE r4: an active tile dropped past tiles_budget whose coverage
+    comes SOLELY from global chunks (no main-list pairs anywhere) must
+    still surface in counter col 0 — the fail-visible contract."""
+    from fmhr_tpu.raster.deferred import render_pixels_projected
+
+    res = (16, 64)
+    # one huge triangle; max_span=1 forces its chunk onto the global
+    # list, so every tile's coverage is globals-only
+    verts = jnp.asarray([[-3.0, -3.0, 0.5], [3.0, -3.0, 0.5],
+                         [0.0, 3.0, 0.5]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    mats = jnp.eye(4, dtype=jnp.float32)[None]
+    attr = jnp.ones((3, 4), jnp.float32)
+    topo = DeferredTopology.build(np.asarray(faces), 3)
+
+    r_full, _, _, c_full = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=1, interpret=True,
+        with_counters=True)
+    assert int(np.asarray(r_full[..., 3]).max()) > 0  # triangle rendered
+    assert int(np.asarray(c_full)[0, 0]) == 0         # no drops unbudgeted
+
+    _, _, _, c_one = render_pixels_projected(
+        verts, mats, attr, topo, res, max_span=1, interpret=True,
+        with_counters=True, tiles_budget=1)
+    # budget 1 drops every other active tile; with zero main-list pairs
+    # in the scene the old main-pairs-only count read 0 here
+    assert int(np.asarray(c_one)[0, 0]) > 0

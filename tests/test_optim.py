@@ -258,14 +258,14 @@ def test_ham_oom_fallback_halves_microbatch():
 
     import fmhr_tpu.optim.ham as ham_mod
 
-    old = ham_mod.jax.block_until_ready
-    ham_mod.jax.block_until_ready = fake_sync
+    old = ham_mod._sync
+    ham_mod._sync = fake_sync
     try:
         with pytest.warns(UserWarning, match="out of device memory"):
             out_oom = run_ham(imgs, gray, masks, w2cs, projs, verts0,
                               faces, HamConfig(view_microbatch=None, **kw))
     finally:
-        ham_mod.jax.block_until_ready = old
+        ham_mod._sync = old
 
     assert len(raised) == 2  # one injected OOM per stage
     np.testing.assert_allclose(
