@@ -1941,7 +1941,6 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
     p = _plan(Fp, 0, 0, H, W, max_span, 64, quiet=True)
     nc, T = p["nc"], p["T"]
 
-    @jax.jit
     def one(tri):
         sx_ = tri[..., 0].T
         sy_ = tri[..., 1].T
@@ -1954,8 +1953,13 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
         emit = any_valid & (n_tiles <= max_span)
         return jnp.sum(jnp.where(emit, n_tiles, 0))
 
-    faces_j = jnp.asarray(faces, jnp.int32)
-    live = np.asarray([int(one(c[faces_j])) for c in clip])
+    # Setup-only integer counting: run ON HOST CPU in one vmapped call.
+    # The per-view TPU dispatches this used to do cost ~350 s of tunnel
+    # round-trips + remote compiles per bench process (r5_warm2_trace).
+    clip_np = np.asarray(clip)
+    with jax.default_device(jax.devices("cpu")[0]):
+        tris = jnp.asarray(clip_np)[:, np.asarray(faces)]   # [B, Fp, 3, 4]
+        live = np.asarray(jax.jit(jax.vmap(one))(tris))
     budget = _round_up(int(live.max() * 1.3) + 128, 128)
     return live, min(budget, nc * max_span)
 
@@ -1981,7 +1985,6 @@ def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
     p = _plan(Fp, 0, 0, H, W, max_span, 64, quiet=True)
     T, tiles_x = p["T"], p["tiles_x"]
 
-    @jax.jit
     def one(tri):
         sx_ = tri[..., 0].T
         sy_ = tri[..., 1].T
@@ -2001,8 +2004,11 @@ def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
         )
         return jnp.sum(jnp.any(hit, axis=0))
 
-    faces_j = jnp.asarray(faces, jnp.int32)
-    counts = np.asarray([int(one(c[faces_j])) for c in clip])
+    # host-CPU, one vmapped call — see audit_deferred_rows
+    clip_np = np.asarray(clip)
+    with jax.default_device(jax.devices("cpu")[0]):
+        tris = jnp.asarray(clip_np)[:, np.asarray(faces)]   # [B, Fp, 3, 4]
+        counts = np.asarray(jax.jit(jax.vmap(one))(tris))
     budget = _round_up(int(counts.max() * 1.3) + 16, 8)
     return counts, min(budget, T)
 

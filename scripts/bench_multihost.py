@@ -1,4 +1,9 @@
-"""Multi-host scaling-efficiency bench for the sharded HAM step.
+"""Multi-host scaling-efficiency bench for the sharded training steps.
+
+`--workload ham` (default) measures the GSPMD-sharded HAM Stage-B step;
+`--workload nr` measures the sharded neural-renderer phase-1 step
+(`dist.make_sharded_nr_step`) — VERDICT r4 #8 asks for both on one
+table.
 
 North-star metric (BASELINE.json / SURVEY §2.3): >=80% linear rays/s
 scaling at 2 hosts. This script measures aggregate rays/s of the
@@ -32,6 +37,7 @@ import os, sys, json, time
 pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
 platform = sys.argv[4]; dev_per_proc = int(sys.argv[5])
 res_h, res_w, n_views, subdiv, steps = (int(v) for v in sys.argv[6:11])
+workload = sys.argv[11]
 if platform == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -74,6 +80,31 @@ batch_full = {"imgs": imgs, "masks": masks, "valid_masks": masks,
               "sh": sh}
 
 mesh = global_render_mesh(n_row_shards=1)
+if workload == "nr":
+    from fmhr_tpu.dist import make_sharded_nr_step
+
+    rays = rng.random((n_views, res_h, res_w, 3)).astype(np.float32)
+    init_fn, nr_step, shardings = make_sharded_nr_step(
+        mesh, verts, faces, np.full_like(verts, 0.5), (res_h, res_w))
+    sl = local_view_slice(n_views)
+    local = {k: v[sl] for k, v in
+             {"imgs": imgs, "masks": masks, "rays": rays,
+              "w2cs": np.asarray(w2cs), "projs": np.asarray(projs)}.items()}
+    batch = shard_batch_multihost(mesh, local, shardings)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = init_fn()
+    params, opt_state, loss = nr_step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = nr_step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({"pid": pid, "step_s": dt,
+                      "rays_per_s": n_views * res_h * res_w / dt}),
+          flush=True)
+    sys.exit(0)
+
 init_fn, step, shardings = make_sharded_ham_step(
     mesh, verts, faces, topo.edges, topo.degrees, topo_aa,
     jnp.asarray(sh), jnp.asarray(masks), cfg,
@@ -108,7 +139,7 @@ def run_cluster(nproc, platform, dev_per_proc, shape, steps, port):
         env.pop("XLA_FLAGS", None)
         env.pop("JAX_PLATFORMS", None)
         argv_tail = [platform, str(dev_per_proc)] + [
-            str(v) for v in shape] + [str(steps)]
+            str(v) for v in shape[:4]] + [str(steps), shape[4]]
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, str(i), str(nproc), port]
@@ -146,9 +177,11 @@ def main():
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--subdiv", type=int, default=1)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--workload", default="ham", choices=["ham", "nr"])
     args = ap.parse_args()
 
-    shape = (args.res[0], args.res[1], args.views, args.subdiv)
+    shape = (args.res[0], args.res[1], args.views, args.subdiv,
+             args.workload)
     r1 = run_cluster(1, args.platform, args.devices_per_process, shape,
                      args.steps, "29531")
     rn = run_cluster(args.processes, args.platform,
@@ -157,7 +190,7 @@ def main():
     eff = rn / (r1 * args.processes)
     print(json.dumps({
         "metric": f"{args.processes}-host scaling efficiency "
-                  "(sharded HAM step)",
+                  f"(sharded {args.workload.upper()} step)",
         "value": round(eff, 4),
         "unit": "ratio",
         "vs_baseline": round(eff / 0.8, 4),  # >=1.0 meets the 80% bar
