@@ -181,8 +181,14 @@ def main() -> None:
     # TPU (tiled_loss="auto"): the step never leaves the kernels'
     # [B, T, C, P] layout (no untile/retile transposes; loss values and
     # grads match the image-layout formulation, tests/test_deferred.py).
+    # Round 5 default: layout="compact" — the kernels write COMPACT
+    # active-tile rows and ALL downstream math (AA, shading, losses)
+    # runs on ~1/4 of the dense tile grid (FMHR_LAYOUT=tiled for A/B).
     # `--impl` (XLA-backend A/B) falls back to the image-layout loss.
     use_tiled = not args.impl
+    layout = os.environ.get("FMHR_LAYOUT", "compact")
+    if tiles_budget is None:
+        layout = "tiled"            # compact requires the audited grid
     if use_tiled:
         from fmhr_tpu.raster.antialias import apply_antialias_tiled
         from fmhr_tpu.raster.deferred import tile_images
@@ -209,7 +215,8 @@ def main() -> None:
     # backend must ship and has crashed large compiles outright.
     def view_terms_tiled(params, idx, imgs, masks):
         """((num, sse), (den, counters)) over the views `idx` — the same
-        split as optim.ham.stage_b_view_terms_tiled."""
+        split as optim.ham.stage_b_view_terms_tiled (or its compact
+        variant when layout='compact')."""
         v = verts0 + params["delta"]
         normals = vertex_normals(v, faces_j,
                                  incidence=topo.vert_slot_incidence)
@@ -218,8 +225,16 @@ def main() -> None:
             jnp.concatenate(
                 [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
-            tiles_budget=tiles_budget, layout="tiled",
+            tiles_budget=tiles_budget, layout=layout,
         )
+        if layout == "compact":
+            from fmhr_tpu.optim.ham import stage_b_terms_compact
+
+            m_sel = masks[idx]
+            num, sse, den = stage_b_terms_compact(
+                tr, imgs[idx], m_sel, m_sel, jnp.sum(m_sel ** 2),
+                params["sh"][idx], 3)
+            return (num, sse), (den, tr["counters"].sum(0))
         feat, aa_w = tr["feat"], tr["aa"]
         nrm = safe_normalize(feat[:, :, :3], axis=2)
         pred_mask = (apply_antialias_tiled(feat[:, :, 6:7], aa_w)[:, :, 0]

@@ -252,6 +252,69 @@ def resolve_view_microbatch(setting, batch: int, height: int,
     return m
 
 
+def stage_b_terms_compact(tr, imgs_t, masks_t, vmask_t, vmask_sq_sum,
+                          sh, degree):
+    """Stage-B photometric terms on the COMPACT render layout
+    (`render_scene(..., layout="compact")`): all per-pixel math runs on
+    [n, ta_cap+1, ...] active-tile rows instead of the dense tile grid.
+
+    imgs_t/masks_t/vmask_t: DENSE tiled [n, T, ...] tensors for the
+    selected views (gathered here through tr["tlist"]); vmask_sq_sum:
+    scalar sum of vmask^2 over the SAME views' full dense grid — the
+    constant contribution of the inactive tiles to the mask SSE, where
+    pred_mask is exactly 0:
+        sse_full = sum_active[(pm - m)^2 - m^2] + sum_all m^2.
+    Values/grads match the dense tiled formulation to fp-reassociation.
+
+    Returns (num, sse, den).
+    """
+    from ..raster.deferred import gather_tiles
+    from ..raster.antialias import apply_antialias_compact
+
+    T = tr["grid"]["T"]
+    tlist = tr["tlist"]
+    imgs_g = gather_tiles(imgs_t, tlist, T)      # [n, TA1, 3, P]
+    masks_g = gather_tiles(masks_t, tlist, T)    # [n, TA1, P]
+    vm_g = gather_tiles(vmask_t, tlist, T)
+    feat, aa_w = tr["feat"], tr["aa"]
+    pred_normals = safe_normalize(feat[:, :, :3], axis=2)
+    rast_albedo = feat[:, :, 3:6]
+    pred_mask = (apply_antialias_compact(feat[:, :, 6:7], aa_w)[:, :, 0]
+                 * tr["grid"]["valid"])
+    valid = ((masks_g > 0) & (tr["ids"] > 0)).astype(feat.dtype)
+    rad = sh_radiance(sh[:, None, None, :], pred_normals, degree, axis=2)
+    pred = rad[:, :, None] * rast_albedo
+    tmp = jnp.where(valid[:, :, None] > 0, pred, 0.0)
+    tmp = apply_antialias_compact(tmp, aa_w)
+    num = jnp.sum(jnp.abs(tmp - imgs_g) * valid[:, :, None])
+    den = jnp.sum(valid) * 3.0
+    sse = jnp.sum((pred_mask - vm_g) ** 2 - vm_g ** 2) + vmask_sq_sum
+    return num, sse, den
+
+
+def stage_a_terms_compact(tr, imgs_t, masks_t, sh, degree):
+    """Stage-A pooled masked-L1 terms on the compact layout (normals and
+    albedo are antialiased BEFORE shading, as in the reference's stage A).
+    Returns (num, den)."""
+    from ..raster.deferred import gather_tiles
+    from ..raster.antialias import apply_antialias_compact
+
+    T = tr["grid"]["T"]
+    tlist = tr["tlist"]
+    imgs_g = gather_tiles(imgs_t, tlist, T)
+    masks_g = gather_tiles(masks_t, tlist, T)
+    feat, aa_w = tr["feat"], tr["aa"]
+    pred_normals = safe_normalize(
+        apply_antialias_compact(feat[:, :, :3], aa_w), axis=2)
+    rast_albedo = apply_antialias_compact(feat[:, :, 3:6], aa_w)
+    valid = ((masks_g > 0) & (tr["ids"] > 0)).astype(feat.dtype)
+    rad = sh_radiance(sh[:, None, None, :], pred_normals, degree, axis=2)
+    pred = rad[:, :, None] * rast_albedo
+    num = jnp.sum(jnp.abs(pred - imgs_g) * valid[:, :, None])
+    den = jnp.sum(valid) * 3.0
+    return num, den
+
+
 def accumulate_view_grads(params, idx, m: int, view_terms):
     """Gradient accumulation over view chunks with EXACT pooled-loss
     gradients.

@@ -412,6 +412,158 @@ def apply_antialias_tiled(color, weights):
     return out
 
 
+def _take_rows(a, nbr):
+    """Gather compact rows: a [B, TA1, ...], nbr [B, TA1] -> a[b, nbr]."""
+    idx = nbr.reshape(nbr.shape + (1,) * (a.ndim - 2))
+    return jnp.take_along_axis(a, idx, axis=1)
+
+
+def antialias_weights_compact(comp, grid):
+    """AA blend weights on the COMPACT row layout (active tiles + one
+    background sentinel row; `deferred._finalize_deferred_compact`).
+
+    Bit-identical alphas to the dense tiled path for every pair, because
+    (a) interior pairs are within-row lane shifts exactly as in the
+    tiled path, (b) tile-boundary pairs gather the neighbor row through
+    `grid["nbr"]` — an inactive/off-grid neighbor resolves to the
+    sentinel row whose values are EXACTLY the zero-filled background of
+    the dense layout — and (c) the q-side pixel coordinates/validity are
+    recomputed with the same formulas `tile_grid` uses. A covered pixel
+    always lies in a bbox-active tile, and an AA bleed past a tile
+    boundary implies the face bbox reaches the neighbor tile (the pair
+    midpoint IS the tile boundary), so the active-tile set covers every
+    pair the dense path would blend.
+    """
+    th, tw = grid["tile_h"], grid["tile_w"]
+    tiles_x, tiles_y = grid["tiles_x"], grid["tiles_y"]
+    H, W = grid["H"], grid["W"]
+    P = th * tw
+    dtype = comp["zw"].dtype
+    E_hi, E_lo, F_hi, F_lo = _tile_onehots(th, tw, dtype)
+    j = np.arange(P)
+    x_in = jnp.asarray(j % tw)
+    y_in = jnp.asarray(j // tw)
+    valid = grid["valid"]                         # [B, TA1, P]
+    tlist = grid["tlist"]
+    B, ta_cap = tlist.shape
+    tl1 = jnp.concatenate(
+        [tlist, jnp.full((B, 1), grid["T"], tlist.dtype)], axis=1)
+    real = tl1 < grid["T"]                        # [B, TA1]
+    tx = tl1 % tiles_x
+    ty = tl1 // tiles_x
+
+    ids_f = comp["ids"].astype(dtype)
+    valid_f = valid.astype(dtype)
+    wok_f = comp["w_ok"].astype(dtype)
+
+    def axis_weights(axis):
+        if axis == "h":
+            shift, in_mask = 1, x_in < tw - 1
+            su, sv = comp["sx"], comp["sy"]
+            u_c, v_c = grid["u"], grid["v"]
+            E_p, E_q, nbr = E_hi, E_lo, grid["nbr"]["h"]
+            edge_ok = real & (tx < tiles_x - 1)
+            # q pixels: x = (tx+1)*tw, y = ty*th + k (k over th lines)
+            k = jnp.arange(th, dtype=jnp.int32)[None, None, :]
+            qx = ((tx + 1) * tw)[:, :, None]
+            qy = (ty * th)[:, :, None] + k
+            u_qb = (qx.astype(dtype) + 0.5) * (2.0 / W) - 1.0
+            vld_qb = (qx < W) & (qy < H)
+        else:
+            shift, in_mask = tw, y_in < th - 1
+            su, sv = comp["sy"], comp["sx"]
+            u_c, v_c = grid["v"], grid["u"]
+            E_p, E_q, nbr = F_hi, F_lo, grid["nbr"]["v"]
+            edge_ok = real & (ty < tiles_y - 1)
+            k = jnp.arange(tw, dtype=jnp.int32)[None, None, :]
+            qx = (tx * tw)[:, :, None] + k
+            qy = ((ty + 1) * th)[:, :, None]
+            u_qb = (qy.astype(dtype) + 0.5) * (2.0 / H) - 1.0
+            vld_qb = (qx < W) & (qy < H)
+
+        def q_of(a):
+            return jnp.roll(a, -shift, axis=-1)
+
+        # ---- interior pairs: identical to the tiled path -------------
+        ids_q = q_of(comp["ids"])
+        cov_p = comp["ids"] > 0
+        cov_q = ids_q > 0
+        geom = in_mask & valid & q_of(valid)
+        active = (comp["ids"] != ids_q) & (cov_p | cov_q) & geom
+        a_p, a_q = _pair_alphas(
+            tuple(su), tuple(sv),
+            tuple(q_of(a) for a in su), tuple(q_of(a) for a in sv),
+            cov_p, cov_q, comp["w_ok"], q_of(comp["w_ok"]),
+            comp["zw"], q_of(comp["zw"]), comp["ids"], ids_q,
+            list(comp["eids"]), [q_of(e) for e in comp["eids"]],
+            v_c, u_c, q_of(u_c), active)
+
+        # ---- boundary pairs: p = last line of each compact row, q =
+        # first line of the neighbor row (gathered via nbr; sentinel =
+        # background), q geometry recomputed with tile_grid's formulas
+        def ep(a):
+            return _ext(a, E_p)
+
+        def eq(a):
+            return _ext(_take_rows(a, nbr), E_q)
+
+        idp_b = ep(ids_f)
+        idq_b = eq(ids_f)
+        covp_b = idp_b > 0.5
+        covq_b = idq_b > 0.5
+        geom_b = ((ep(valid_f) > 0.5) & vld_qb & edge_ok[:, :, None])
+        active_b = (idp_b != idq_b) & (covp_b | covq_b) & geom_b
+        ab_p, ab_q = _pair_alphas(
+            tuple(ep(a) for a in su), tuple(ep(a) for a in sv),
+            tuple(eq(a) for a in su), tuple(eq(a) for a in sv),
+            covp_b, covq_b, ep(wok_f) > 0.5, eq(wok_f) > 0.5,
+            ep(comp["zw"]), eq(comp["zw"]), idp_b, idq_b,
+            [ep(e.astype(dtype)) for e in comp["eids"]],
+            [eq(e.astype(dtype)) for e in comp["eids"]],
+            ep(v_c), ep(u_c), u_qb, active_b)
+        return (a_p, a_q), (ab_p, ab_q)
+
+    h_int, h_bnd = axis_weights("h")
+    v_int, v_bnd = axis_weights("v")
+    return {
+        "layout": "compact",
+        "h": h_int, "v": v_int, "hb": h_bnd, "vb": v_bnd,
+        "_grid": grid,
+    }
+
+
+def apply_antialias_compact(color, weights):
+    """Blend compact-layout `color` [B, TA1, C, P] with
+    `antialias_weights_compact` output. Boundary d_q lands in the
+    neighbor row via a scatter-add (sentinel row absorbs and is never
+    read by the loss)."""
+    grid = weights["_grid"]
+    th, tw = grid["tile_h"], grid["tile_w"]
+    dtype = color.dtype
+    E_hi, E_lo, F_hi, F_lo = _tile_onehots(th, tw, dtype)
+    B, TA1 = color.shape[:2]
+    bi = jnp.arange(B)[:, None]
+
+    out = color
+    for key, shift, E_p, E_q, nbr in (
+            ("h", 1, E_hi, E_lo, grid["nbr"]["h"]),
+            ("v", tw, F_hi, F_lo, grid["nbr"]["v"])):
+        a_p, a_q = weights[key]
+        c_q = jnp.roll(color, -shift, axis=-1)
+        d_p = a_p[:, :, None] * (c_q - color)
+        d_q = a_q[:, :, None] * (color - c_q)       # at pair index p
+        out = out + d_p + jnp.roll(d_q, shift, axis=-1)
+
+        ab_p, ab_q = weights[key + "b"]
+        c_pb = _ext(color, E_p)                     # [B, TA1, C, K]
+        c_qb = _ext(_take_rows(color, nbr), E_q)
+        db_p = ab_p[:, :, None] * (c_qb - c_pb)
+        db_q = ab_q[:, :, None] * (c_pb - c_qb)
+        out = out + _ext(db_p, E_p.T)
+        out = out.at[bi, nbr].add(_ext(db_q, E_q.T))
+    return out
+
+
 def audit_aa_pairs(ids) -> tuple[int, int]:
     """Active AA pair counts (horizontal, vertical) of a concrete id map
     [B, H, W] — for sizing `antialias_weights(budget=...)`. Counts every

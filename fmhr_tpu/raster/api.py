@@ -259,7 +259,8 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
         # layout="tiled" exists only on the deferred path; on CPU it runs
         # the kernels in interpret mode (parity tests), on TPU it is the
         # training fast path (no untile/retile transposes).
-        if impl == "deferred" or not on_cpu or layout == "tiled":
+        if impl == "deferred" or not on_cpu or layout in ("tiled",
+                                                           "compact"):
             topo_d = _deferred_topology_for(
                 faces, verts.shape[0], face_order=kw.get("face_order"))
             if topo_d is not None:
@@ -280,8 +281,8 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     with_counters=kw.get("with_counters", False),
                     layout=layout,
                     interpret=on_cpu, **kw_wc)
-    if layout == "tiled":
-        raise ValueError("layout='tiled' requires the deferred path "
+    if layout in ("tiled", "compact"):
+        raise ValueError(f"layout={layout!r} requires the deferred path "
                          "(static faces); got an impl/topology fallback")
     # XLA paths: project exactly like optim.ham.project_verts
     ph = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)

@@ -1399,7 +1399,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                       winner_cap: int = 128, tiles_budget: int | None = None,
                       shared_attr: bool = False, interpret: bool = False,
                       projected: bool = False, tiled: bool = False,
-                      fused: bool | None = None):
+                      fused: bool | None = None,
+                      compact_out: bool = False):
     """Cached custom_vjp'd core for one (topology, config).
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
@@ -1429,9 +1430,14 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         # fused A+B kernel (one grid pass instead of two): env-default
         # until the on-hardware A/B settles it
         fused = os.environ.get("FMHR_FUSED_AB", "0") == "1"
+    if compact_out:
+        # compact output layout requires the compacted grid, the tiled
+        # path, and the two-pass kernels
+        assert tiled and tiles_budget is not None and not fused, (
+            "compact_out needs tiled=True, a tiles_budget, and fused=False")
     key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
            winner_cap, tiles_budget, shared_attr, interpret, projected,
-           tiled, fused)
+           tiled, fused, compact_out)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1579,11 +1585,19 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 + g_cnt * jnp.sum(dropped.astype(jnp.int32), axis=-1)
             ).astype(jnp.int32)
             meta = jnp.pad(meta, ((0, 0), (0, 1), (0, 0), (0, 0)))
-        Tout = T + 1 if compact else T
+        # compact_out: outputs hold ta_cap active rows + 1 sentinel
+        # background row (index ta_cap, never written, zero via aliasing)
+        Tout = (ta_cap + 1 if compact_out else (T + 1 if compact else T))
 
-        def _gridspec(in_specs, out_specs):
+        def _gridspec(in_specs, out_specs, compact_in=()):
             """(b, tile) grid; compact mode prefetches the tile list and
-            index-maps through it (padding -> dummy tile T)."""
+            index-maps the INPUTS through it (padding -> dummy tile T).
+            With compact_out the OUTPUTS are written at the compact grid
+            position (b, ta) instead — the [B, ta_cap+1, ...] output
+            buffers then hold only active tiles (plus a guaranteed-
+            background sentinel row at index ta_cap that no grid step
+            writes), so downstream math and HBM traffic shrink by the
+            active-tile fraction."""
             if not compact:
                 return dict(grid=(B, T), in_specs=in_specs,
                             out_specs=out_specs)
@@ -1595,13 +1609,30 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                     s.block_shape,
                     (lambda f: lambda b, ta, tl: f(b, tl[b, ta]))(f),
                     memory_space=s.memory_space)
+
+            def wrap_out(s):
+                if not compact_out:
+                    return wrap(s)
+                f = s.index_map
+                return pl.BlockSpec(
+                    s.block_shape,
+                    (lambda f: lambda b, ta, tl: f(b, ta))(f),
+                    memory_space=s.memory_space)
+            # compact_in: positions of inputs that were WRITTEN at
+            # compact grid positions by an earlier compact_out pass
+            # (slot/winner outputs fed to pass B) — read back the same
+            # way; everything else (meta tables) is dense-stored.
+            def wrap_in(i, s):
+                if compact_out and i in compact_in:
+                    return wrap_out(s)
+                return wrap(s)
             return dict(grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(B, ta_cap),
-                in_specs=[wrap(s) for s in in_specs],
-                out_specs=(wrap(out_specs) if not isinstance(
+                in_specs=[wrap_in(i, s) for i, s in enumerate(in_specs)],
+                out_specs=(wrap_out(out_specs) if not isinstance(
                     out_specs, (list, tuple))
-                    else [wrap(s) for s in out_specs])))
+                    else [wrap_out(s) for s in out_specs])))
 
         # ---- pass A: winning face index per pixel + in-kernel winner
         # compaction (distinct winning chunks per tile come straight out
@@ -1719,10 +1750,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 out_shape=jax.ShapeDtypeStruct(
                     (B, Tout, rows_out, _PIX), jnp.float32),
                 interpret=interpret,
-                **_gridspec(passb_in, passb_out),
+                **_gridspec(passb_in, passb_out, compact_in=(0, 1, 2)),
                 **passb_kw,
             )(*passb_args)
-        if compact:
+        if compact and not compact_out:
             outf = outf[:, :T]
 
         if tiled:
@@ -1748,10 +1779,16 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         # past global_cap (ADVICE r3: previously silent). All 0 on a
         # healthy run.
         if compact:
-            # unvisited tiles' wstat is uninitialized memory: reduce the
-            # overflow column over the VISITED (tlist) tiles only
-            bi = jnp.arange(B, dtype=jnp.int32)[:, None]
-            wover = wstat[bi, tlist][:, :, 0, 1].sum(axis=1)
+            if compact_out:
+                # rows ARE the visited tiles (plus zero-writing padding
+                # steps); the sentinel row ta_cap is never written but
+                # also never summed (slice to ta_cap)
+                wover = wstat[:, :ta_cap, 0, 1].sum(axis=1)
+            else:
+                # unvisited tiles' wstat is uninitialized memory: reduce
+                # the overflow column over the VISITED (tlist) tiles only
+                bi = jnp.arange(B, dtype=jnp.int32)[:, None]
+                wover = wstat[bi, tlist][:, :, 0, 1].sum(axis=1)
             counters = jnp.stack(
                 [n_drop + extra_drop, wover, g_drop], axis=-1)
         else:
@@ -1770,6 +1807,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
         if tiled:
             # cotangents arrive already tiled [B, T, rows_used, P]
+            if compact_out:
+                # sentinel background row: a constant output — its
+                # cotangent is dropped (same as inactive dense tiles)
+                g_pix = g_pix[:, :p["ta_cap"]]
             g = jnp.pad(g_pix, ((0, 0), (0, 0),
                                 (0, rows_out - rows_used), (0, 0)))
         else:
@@ -1778,7 +1819,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                                 (0, Hp - H), (0, Wp - W)))
             g = g.reshape(rows_out, B, tiles_y, TILE_H, tiles_x, TILE_W)
             g = g.transpose(1, 2, 4, 0, 3, 5).reshape(B, T, rows_out, _PIX)
-        if compact:
+        if compact and not compact_out:
             # dummy-tile row for the padding entries of tlist. Inactive
             # tiles' cotangents are correctly DROPPED: their pix output
             # is constant background, so their true input gradient is 0.
@@ -1819,6 +1860,15 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 if s.block_shape is None:
                     return s
                 f = s.index_map
+                if compact_out:
+                    # fwd wrote slot/wlist/wmeta (and the loss produced
+                    # g) at COMPACT positions; read them back the same
+                    # way. tlist stays prefetched for the kernel body
+                    # (tile origin for the shading VJP).
+                    return pl.BlockSpec(
+                        s.block_shape,
+                        (lambda f: lambda b, ta, tl: f(b, ta))(f),
+                        memory_space=s.memory_space)
                 return pl.BlockSpec(
                     s.block_shape,
                     (lambda f: lambda b, ta, tl: f(b, tl[b, ta]))(f),
@@ -1861,14 +1911,22 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             g_attr = g_attr.reshape(V, B, C).transpose(1, 0, 2)
         return gtab, g_attr, inc_j, B
 
+    # compact_out additionally returns tlist (the per-view active-tile
+    # list) as a primal output: the finalize/loss need it to gather
+    # images and resolve tile neighbors. Integer output — zero cotangent.
+    n_out = 4 if compact_out else 3
+
+    def _primal(out):
+        return out[:3] + ((out[9],) if compact_out else ())
+
     if not projected:
 
         def core(clip, attr):
-            return _fwd_impl(_coords_from_clip(clip), attr)[:3]
+            return _primal(_fwd_impl(_coords_from_clip(clip), attr))
 
         def core_fwd(clip, attr):
             out = _fwd_impl(_coords_from_clip(clip), attr)
-            return out[:3], out[3:] + (clip.shape[0],)
+            return _primal(out), out[3:] + (clip.shape[0],)
 
         def core_bwd(res, cts):
             gtab, g_attr, inc_j, B = _bwd_gtab(res, cts)
@@ -1886,13 +1944,13 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
     else:
 
         def core(verts, mats, attr):
-            return _fwd_impl(
-                _coords_projected(_tri_rest(verts), mats), attr)[:3]
+            return _primal(_fwd_impl(
+                _coords_projected(_tri_rest(verts), mats), attr))
 
         def core_fwd(verts, mats, attr):
             tri_rest = _tri_rest(verts)
             out = _fwd_impl(_coords_projected(tri_rest, mats), attr)
-            return out[:3], out[3:] + (mats.shape[0], tri_rest, mats)
+            return _primal(out), out[3:] + (mats.shape[0], tri_rest, mats)
 
         def core_bwd(res, cts):
             tri_rest, mats = res[-2:]
@@ -2219,6 +2277,101 @@ def _finalize_deferred_tiled(pix, ids, topo, C, dtype, with_aa, resolution,
             "counters": counters}
 
 
+def gather_tiles(timg, tlist, T):
+    """Gather dense tiled data [B, T, ...] to the compact row order
+    [B, ta_cap+1, ...] given the per-view active-tile list `tlist`
+    [B, ta_cap] (dense ids; padding = T). A zero row is appended for the
+    padding/sentinel entries, so gathered padding rows read as zeros.
+    Used for the static image/mask targets of the compact training loss.
+    """
+    B = timg.shape[0]
+    pad = [(0, 0)] * timg.ndim
+    pad[1] = (0, 1)
+    timg_p = jnp.pad(timg, pad)                     # [B, T+1, ...]
+    tl = jnp.concatenate(
+        [tlist, jnp.full((B, 1), T, tlist.dtype)], axis=1)  # [B, TA+1]
+    idx = tl.reshape(tl.shape + (1,) * (timg.ndim - 2))
+    return jnp.take_along_axis(timg_p, idx, axis=1)
+
+
+def compact_neighbors(tlist, tiles_x, tiles_y, T):
+    """Right/down neighbor COMPACT row index for every compact row.
+
+    Returns {"h": [B, TA+1], "v": [B, TA+1]} int32 where the value is the
+    neighbor's row in the compact layout, or ta_cap (the sentinel
+    background row) when the neighbor tile is bbox-inactive, off-grid, or
+    the row is padding. posmap is a [B, T+2] scatter of tlist — O(B*T).
+    """
+    B, ta_cap = tlist.shape
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None]
+    posmap = jnp.full((B, T + 2), ta_cap, jnp.int32)
+    # padding entries (tlist == T) write column T; it is never read back
+    # through a valid neighbor lookup (guards below map those to T + 1)
+    posmap = posmap.at[bi, tlist].set(
+        jnp.broadcast_to(jnp.arange(ta_cap, dtype=jnp.int32), (B, ta_cap)))
+    tl1 = jnp.concatenate(
+        [tlist, jnp.full((B, 1), T, tlist.dtype)], axis=1)  # [B, TA+1]
+    real = tl1 < T
+    tx = tl1 % tiles_x
+    ty = tl1 // tiles_x
+    nbr_h = jnp.where(real & (tx < tiles_x - 1), tl1 + 1, T + 1)
+    nbr_v = jnp.where(real & (ty < tiles_y - 1), tl1 + tiles_x, T + 1)
+    return {"h": posmap[bi, nbr_h], "v": posmap[bi, nbr_v]}
+
+
+def _finalize_deferred_compact(pix, ids, topo, C, dtype, with_aa,
+                               resolution, counters, tlist):
+    """Compact-layout finalize: rows are ACTIVE tiles (bbox-audited,
+    per-view) plus a guaranteed-background sentinel row at index ta_cap.
+    pix [B, ta_cap+1, rows_used, P].
+
+    Returns a dict like `_finalize_deferred_tiled` plus "tlist" (dense
+    tile ids per row) and gathered per-row grid metadata. The training
+    loss runs entirely on these compact arrays — work and HBM traffic
+    scale with covered tiles, not the image area.
+    """
+    from .antialias import antialias_weights_compact
+
+    H, W = resolution
+    grid = tile_grid(resolution, dtype)
+    T = grid["T"]
+    B, TA1 = pix.shape[0], pix.shape[1]
+    feat = pix[:, :, 9:9 + C]
+
+    # per-row static grid metadata (sentinel/padding rows: valid=False).
+    # Direct row-gather from the [T+1, P] tables — no dense [B, T, P]
+    # broadcast is ever materialized.
+    tl1 = jnp.concatenate(
+        [tlist, jnp.full((B, 1), T, tlist.dtype)], axis=1)  # [B, TA+1]
+    u_g = jnp.pad(grid["u"], ((0, 1), (0, 0)))[tl1]
+    v_g = jnp.pad(grid["v"], ((0, 1), (0, 0)))[tl1]
+    val_g = jnp.pad(grid["valid"], ((0, 1), (0, 0)))[tl1]
+    gridc = {
+        "layout": "compact",
+        "u": u_g, "v": v_g, "valid": val_g,
+        "tiles_x": grid["tiles_x"], "tiles_y": grid["tiles_y"],
+        "tile_h": TILE_H, "tile_w": TILE_W, "T": T,
+        "H": H, "W": W,
+        "tlist": tlist,
+        "nbr": compact_neighbors(tlist, grid["tiles_x"], grid["tiles_y"],
+                                 T),
+    }
+    aa_w = None
+    if with_aa:
+        comp = {
+            "ids": ids,
+            "zw": pix[:, :, 2],
+            "w_ok": pix[:, :, 13 + C] > 0.5,
+            "sx": [pix[:, :, 3 + k] for k in range(3)],
+            "sy": [pix[:, :, 6 + k] for k in range(3)],
+            "eids": tuple(jnp.round(pix[:, :, 10 + C + k]).astype(jnp.int32)
+                          for k in range(3)),
+        }
+        aa_w = antialias_weights_compact(comp, gridc)
+    return {"feat": feat, "ids": ids, "grid": gridc, "aa": aa_w,
+            "counters": counters, "tlist": tlist}
+
+
 def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                             resolution, *, max_span: int | None = None,
                             global_cap: int = 64,
@@ -2244,14 +2397,17 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
     """
     H, W = resolution
     C = attr.shape[-1]
-    tiled = layout == "tiled"
+    compact_out = layout == "compact"
+    tiled = layout in ("tiled", "compact")
     core = get_deferred_core(topo, C, H, W,
                              max_span=max_span, global_cap=global_cap,
                              rows_budget=rows_budget, winner_cap=winner_cap,
                              tiles_budget=tiles_budget,
                              shared_attr=attr.ndim == 2,
                              interpret=interpret, projected=True,
-                             tiled=tiled, fused=fused)
+                             tiled=tiled,
+                             fused=False if compact_out else fused,
+                             compact_out=compact_out)
     if mesh is not None and views_axis in mesh.axis_names:
         try:
             from jax import shard_map
@@ -2262,12 +2418,19 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
         vspec = P(views_axis)
         attr_spec = P() if attr.ndim == 2 else vspec
         pix_spec = vspec if tiled else P(None, views_axis)
+        outs = (pix_spec, vspec, vspec) + (
+            (vspec,) if compact_out else ())
         sm_kw = dict(mesh=mesh, in_specs=(P(), vspec, attr_spec),
-                     out_specs=(pix_spec, vspec, vspec))
+                     out_specs=outs)
         try:
             core = shard_map(core, check_vma=False, **sm_kw)
         except TypeError:  # older jax spelling
             core = shard_map(core, check_rep=False, **sm_kw)
+    if compact_out:
+        pix, ids, counters, tlist = core(verts, mats, attr)
+        return _finalize_deferred_compact(
+            pix, ids, topo, C, verts.dtype, with_aa, resolution,
+            counters, tlist)
     pix, ids, counters = core(verts, mats, attr)
     if tiled:
         return _finalize_deferred_tiled(pix, ids, topo, C, verts.dtype,

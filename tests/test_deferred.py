@@ -1031,3 +1031,98 @@ def test_tiles_budget_overflow_counts_globals_only_tiles():
     # budget 1 drops every other active tile; with zero main-list pairs
     # in the scene the old main-pairs-only count read 0 here
     assert int(np.asarray(c_one)[0, 0]) > 0
+
+
+def test_compact_layout_matches_tiled():
+    """layout='compact' (kernels write active-tile rows; AA/loss run on
+    the compact arrays) must reproduce the tiled layout's stage-B loss
+    terms and gradients: num/den bit-identical, sse to fp-reassociation,
+    grads bit-identical. Covers tile-boundary AA pairs incl. background
+    (inactive) neighbors via the sentinel row."""
+    import jax
+
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.core.mesh import (MeshTopology, vertex_normals,
+                                    safe_normalize)
+    from fmhr_tpu.core.sh import sh_radiance
+    from fmhr_tpu.optim.ham import project_verts, stage_b_terms_compact
+    from fmhr_tpu.raster import render_scene, AATopology
+    from fmhr_tpu.raster.antialias import apply_antialias_tiled
+    from fmhr_tpu.raster.deferred import (audit_deferred_rows,
+                                          audit_active_tiles, tile_images)
+
+    H, W, n_views = 48, 96, 2
+    verts, faces, w2cs, projs = hand_scene(
+        res=(H, W), n_views=n_views, subdiv=1, fill=0.3)
+    V = verts.shape[0]
+    topo = MeshTopology.build(faces, V)
+    topo_aa = AATopology.build(faces, V)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((n_views, H, W, 3)), jnp.float32)
+    masks = jnp.asarray(
+        (rng.random((n_views, H, W)) > 0.3).astype(np.float32))
+    sh = jnp.asarray(np.tile(
+        np.array([0.8, 0.1, 0.2, -0.1, 0, 0, 0.05, 0, 0], np.float32),
+        (n_views, 1)))
+    w2cs = jnp.asarray(w2cs)
+    projs = jnp.asarray(projs)
+    verts0 = jnp.asarray(verts)
+    faces_j = jnp.asarray(faces)
+    clip = project_verts(verts0, w2cs, projs)
+    _, rows_budget = audit_deferred_rows(clip, faces_j, (H, W))
+    _, ta_budget = audit_active_tiles(clip, faces_j, (H, W))
+    imgs_t = tile_images(imgs, (H, W))
+    masks_t = tile_images(masks, (H, W))
+    vm_sq = jnp.sum(masks_t ** 2)
+
+    def render(params, layout):
+        v = verts0 + params["delta"]
+        normals = vertex_normals(v, faces_j,
+                                 incidence=topo.vert_slot_incidence)
+        return render_scene(
+            v, faces_j, w2cs, projs,
+            jnp.concatenate([normals, params["albedo"],
+                             jnp.ones_like(v[:, :1])], -1),
+            (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
+            tiles_budget=ta_budget, layout=layout)
+
+    def terms_tiled(params):
+        tr = render(params, "tiled")
+        feat, aa_w = tr["feat"], tr["aa"]
+        nrm = safe_normalize(feat[:, :, :3], axis=2)
+        pred_mask = (apply_antialias_tiled(feat[:, :, 6:7], aa_w)[:, :, 0]
+                     * tr["grid"]["valid"])
+        valid = ((masks_t > 0) & (tr["ids"] > 0)).astype(jnp.float32)
+        rad = sh_radiance(sh[:, None, None, :], nrm, 3, axis=2)
+        pred = jnp.where(valid[:, :, None] > 0,
+                         rad[:, :, None] * feat[:, :, 3:6], 0.0)
+        pred = apply_antialias_tiled(pred, aa_w)
+        num = jnp.sum(jnp.abs(pred - imgs_t) * valid[:, :, None])
+        den = jnp.sum(valid) * 3.0
+        sse = jnp.sum((pred_mask - masks_t) ** 2)
+        return num, den, sse
+
+    def terms_compact(params):
+        tr = render(params, "compact")
+        num, sse, den = stage_b_terms_compact(
+            tr, imgs_t, masks_t, masks_t, vm_sq, sh, 3)
+        return num, den, sse
+
+    params = {"delta": jnp.zeros_like(verts0) + 0.001,
+              "albedo": jnp.full_like(verts0, 0.5)}
+    nt, dt_, st_ = terms_tiled(params)
+    nc, dc, sc = terms_compact(params)
+    assert float(nt) == float(nc)
+    assert float(dt_) == float(dc)
+    np.testing.assert_allclose(float(st_), float(sc), rtol=1e-5)
+
+    def scalar(fn):
+        def f(p):
+            n, d, ss = fn(p)
+            return 50.0 * n / jnp.maximum(d, 1.0) + ss / 1000.0
+        return f
+
+    gt = jax.grad(scalar(terms_tiled))(params)
+    gc = jax.grad(scalar(terms_compact))(params)
+    for k in gt:
+        np.testing.assert_array_equal(np.asarray(gt[k]), np.asarray(gc[k]))
