@@ -98,10 +98,12 @@ def _capped_polytube(points, radii, segments=6, rings_per_seg=2):
             faces.append([i0, i1, i2])              # outward winding
             faces.append([i1, i3, i2])
     # end caps: apex slightly proud of the end ring so the cap is convex
+    # (0.35r: proud enough for a rounded tip, shallow enough that the
+    # HAM Laplacian regularizer does not fight the template's own shape)
     base_apex = len(verts)
-    verts.append(centers[0] - axis0 * rads[0] * 0.6)
+    verts.append(centers[0] - axis0 * rads[0] * 0.35)
     tip_apex = len(verts)
-    verts.append(centers[-1] + axis0 * rads[-1] * 0.6)
+    verts.append(centers[-1] + axis0 * rads[-1] * 0.35)
     last = (n_rings - 1) * segments
     for s in range(segments):
         s2 = (s + 1) % segments

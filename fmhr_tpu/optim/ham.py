@@ -535,6 +535,16 @@ def run_ham(
     use_tiled = (cfg.tiled_loss is True or
                  (cfg.tiled_loss == "auto"
                   and jax.default_backend() != "cpu"))
+    # Round 5: with the audited tile list available, run the training
+    # loss on the COMPACT render layout — kernels write active-tile rows
+    # and all downstream math (AA/shading/losses) scales with covered
+    # tiles, not image area. Bit-identical to tiled
+    # (tests/test_deferred.py::test_compact_layout_matches_tiled);
+    # FMHR_LAYOUT=tiled restores the dense tiled layout for A/B.
+    train_layout = "tiled"
+    if (use_tiled and raster_kw.get("tiles_budget") is not None
+            and os.environ.get("FMHR_LAYOUT", "compact") == "compact"):
+        train_layout = "compact"
     if use_tiled:
         # tiled training layout (raster/deferred.py): targets are tiled
         # ONCE at setup; the per-step loss never leaves the kernels'
@@ -566,8 +576,12 @@ def run_ham(
         tr = render_scene(
             vertices, faces, w2cs[idx], projs[idx],
             jnp.concatenate([normals, albedo_p], -1),
-            res, aa_topology=topo_aa, layout="tiled", **raster_kw,
+            res, aa_topology=topo_aa, layout=train_layout, **raster_kw,
         )
+        if train_layout == "compact":
+            return stage_a_terms_compact(
+                tr, data["imgs"][idx], data["masks"][idx], sh_p[idx],
+                cfg.degree)
         feat, aa_w = tr["feat"], tr["aa"]
         pred_normals = safe_normalize(
             apply_antialias_tiled(feat[:, :, :3], aa_w), axis=2)
@@ -731,8 +745,14 @@ def run_ham(
             verts, faces, w2cs[idx], projs[idx],
             jnp.concatenate(
                 [normals, albedo_p, jnp.ones_like(verts[:, :1])], -1),
-            res, aa_topology=topo_aa, layout="tiled", **raster_kw,
+            res, aa_topology=topo_aa, layout=train_layout, **raster_kw,
         )
+        if train_layout == "compact":
+            vm = data["valid"][idx]
+            num, sse, den = stage_b_terms_compact(
+                tr, data["imgs"][idx], data["masks"][idx], vm,
+                jnp.sum(vm ** 2), sh_coeffs[idx], cfg.degree)
+            return (num, sse), (den, tr["counters"].sum(0))
         feat, aa_w = tr["feat"], tr["aa"]
         pred_normals = safe_normalize(feat[:, :, :3], axis=2)
         rast_albedo = feat[:, :, 3:6]
