@@ -65,7 +65,10 @@ def _synthetic_scene(res=48, n_views=6):
     )
     verts = np.asarray(verts[0] * 0.45)
     faces = m.faces
-    w2cs, projs = _ring_cameras(n_views, res=res)
+    # focal_scale 3: frame the hand at a realistic coverage (round-4
+    # bench framing fix) — at the legacy wide framing the new tapered
+    # fingers are subpixel at res 48 and the HAM loss cannot see them
+    w2cs, projs = _ring_cameras(n_views, res=res, focal_scale=3.0)
     topo_aa = AATopology.build(faces, verts.shape[0])
 
     gt_albedo = jnp.asarray(
