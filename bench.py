@@ -163,6 +163,12 @@ def main() -> None:
         tiles_frac = tiles_budget / dense_tile_count(
             int(faces_j.shape[0]), (H, W))
 
+    # oversize-chunk (global-list) cap audited from the start mesh (the
+    # full-res pipeline overflowed the fixed 64 default in round 5)
+    from fmhr_tpu.raster.deferred import audit_global_chunks
+    _, global_cap = audit_global_chunks(
+        project_verts(verts0, w2cs, projs), faces_j, (H, W))
+
     # FMHR_AA_BUDGET=audit switches the AA pass to the compact-pair path,
     # sized 2x from a concrete render of the start mesh (bit-identical to
     # dense when the budget fits) — for on-hardware dense-vs-compact A/B.
@@ -225,7 +231,8 @@ def main() -> None:
             jnp.concatenate(
                 [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
-            tiles_budget=tiles_budget, layout=layout,
+            tiles_budget=tiles_budget, global_cap=global_cap,
+            layout=layout,
         )
         if layout == "compact":
             from fmhr_tpu.optim.ham import stage_b_terms_compact
@@ -287,6 +294,7 @@ def main() -> None:
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
             tiles_budget=tiles_budget, aa_budget=aa_budget,
+            **({"global_cap": global_cap} if not args.impl else {}),
             **({"impl": args.impl} if args.impl else {}),
         )
         nrm = safe_normalize(feat[..., :3])
@@ -418,7 +426,7 @@ def main() -> None:
             verts0 + params["delta"], faces_j, w2cs, projs,
             jnp.ones((V, 7), jnp.float32), (H, W), aa_topology=None,
             rows_budget=rows_budget, tiles_budget=tiles_budget,
-            layout="tiled")
+            global_cap=global_cap, layout="tiled")
         out["extra"]["overflow"] = np.asarray(tr["counters"]).sum(0).tolist()
         cov_ids = np.asarray(tr["ids"] > 0)
         valid_np = np.asarray(tr["grid"]["valid"])

@@ -508,6 +508,12 @@ def run_ham(
         _, tiles_budget = audit_active_tiles(clip0, faces_np, res)
         raster_kw["tiles_budget"] = tiles_budget
         tiles_frac = tiles_budget / dense_tile_count(len(faces_np), res)
+    # oversize-chunk (global-list) cap, audited like rows/tiles: the
+    # full-res demo pipeline overflowed the fixed 64 default (r5)
+    from ..raster.deferred import audit_global_chunks
+
+    _, g_cap = audit_global_chunks(clip0, faces_np, res)
+    raster_kw["global_cap"] = g_cap
 
     sh_coeffs, albedo, valid_masks = sh_init(
         grayimgs, imgs, masks, w2cs, projs, vertices, faces, topo_aa, cfg,

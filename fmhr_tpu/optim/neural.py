@@ -258,6 +258,10 @@ def train_neural_renderer(
     if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
         _, _tiles_budget = audit_active_tiles(_clip0, faces_np, (H, W))
         raster_kw["tiles_budget"] = _tiles_budget
+    # oversize-chunk (global-list) cap, audited like rows/tiles (r5)
+    from ..raster.deferred import audit_global_chunks
+    _, _g_cap = audit_global_chunks(_clip0, faces_np, (H, W))
+    raster_kw["global_cap"] = _g_cap
 
     # Image-sized tensors (imgs/rays/masks, ~500 MB at the full-res demo)
     # travel as jit ARGUMENTS through `data` — baking them into the

@@ -272,6 +272,7 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                 return render_pixels_projected(
                     verts, mats, attr, topo_d, resolution,
                     max_span=kw.get("max_span"),
+                    global_cap=kw.get("global_cap", 64),
                     rows_budget=kw.get("rows_budget"),
                     tiles_budget=kw.get("tiles_budget"),
                     with_aa=aa_topology is not None,
@@ -292,6 +293,7 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
     kw.pop("layout", None)       # image-layout only on the XLA paths
     kw.pop("winner_cap", None)   # deferred-path concept
     kw.pop("tiles_budget", None)  # deferred-path concept
+    kw.pop("global_cap", None)   # deferred-path concept
     out = render_pixels(clip, attr, faces, resolution, impl=impl,
                         aa_topology=aa_topology, **kw)
     if with_counters:

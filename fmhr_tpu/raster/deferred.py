@@ -2071,6 +2071,44 @@ def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
     return counts, min(budget, T)
 
 
+def audit_global_chunks(clip, faces, resolution,
+                        max_span: int | None = None):
+    """Per-view count of GLOBAL (oversize) chunks — chunks whose tile
+    span exceeds max_span and therefore ride the per-view global list
+    bounded by `global_cap`. Round 5: the full-res pipeline overflowed
+    the fixed default cap of 64 (17.6k dropped chunks across stage B),
+    so the cap is now audited from the start mesh like rows/tiles.
+
+    Returns (counts [B] np, suggested global_cap int: 2x the max with a
+    floor of 64 — the mesh deforms during optimization and overflow is
+    fail-visible in counter col 2).
+    """
+    H, W = resolution
+    faces = np.asarray(faces, np.int32)
+    F = int(faces.shape[0])
+    Fp = _round_up(max(F, 1), _CHUNK)
+    if Fp > F:
+        faces = np.concatenate([faces, np.zeros((Fp - F, 3), np.int32)])
+    if max_span is None:
+        max_span = default_max_span(F, H, W)
+    p = _plan(Fp, 0, 0, H, W, max_span, 64, quiet=True)
+
+    def one(tri):
+        sx_ = tri[..., 0].T
+        sy_ = tri[..., 1].T
+        w_ = tri[..., 3].T
+        iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
+        sx_, sy_ = sx_ * iw, sy_ * iw
+        _, _, csx, csy, av = _chunk_bboxes(sx_, sy_, w_, p, H, W)
+        return jnp.sum(av & (csx * csy > max_span))
+
+    clip_np = np.asarray(clip)
+    with jax.default_device(jax.devices("cpu")[0]):
+        tris = jnp.asarray(clip_np)[:, np.asarray(faces)]
+        counts = np.asarray(jax.jit(jax.vmap(one))(tris))
+    return counts, max(64, _round_up(2 * int(counts.max()) + 8, 8))
+
+
 def dense_tile_count(num_faces: int, resolution) -> int:
     """Dense kernel grid size T for this image size — the denominator of
     the active-tile fraction `tiles_budget / T` (used to scale memory
