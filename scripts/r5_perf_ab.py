@@ -35,11 +35,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
-
     import jax
     import jax.numpy as jnp
+    if args.platform:
+        # NOTE: the env var alone is NOT enough here — a sitecustomize
+        # pre-imports jax with the axon plugin before this script runs
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
 
     cache_dir = os.environ.get(
         "FMHR_COMPILE_CACHE",
