@@ -43,12 +43,14 @@ PRESETS = {
     #
     # prod = the reference's production HAM workload geometry: 334x512,
     # 16-view batch, x3-subdivided MANO-density mesh (~98.4k faces,
-    # SURVEY.md: 49,281 verts / 98,432 faces; here 50,178/100,352 from
-    # the 1568-face refined base) (`/root/reference/conf/ih_sfs.conf`,
-    # `mesh_sfs_optim.py:82`, `train_mlp.py:151-154`).
+    # SURVEY.md: 49,281 verts / 98,432 faces; here 46,092/92,160 from
+    # the round-5 watertight 360-face template at base_refine 1)
+    # (`/root/reference/conf/ih_sfs.conf`, `mesh_sfs_optim.py:82`,
+    # `train_mlp.py:151-154`).
     "prod": ((334, 512), 16, 3, False, 1, 10, 0.06),
     # demo = the reference's flagship demo workload: 1280x1024 renders,
-    # two-hand subdiv-3 mesh (~197k fused faces, mano_optim.py:320-322),
+    # two-hand subdiv-3 mesh (184,320 faces here; reference ~197k,
+    # mano_optim.py:320-322),
     # batch 8 views per step (`/root/reference/conf/demo_sfs.conf`:
     # 16 cams at batch 8). Audited live (tile,chunk) pairs ~11.3k/view
     # at the 8x32 tile — under the 16k SMEM pair cap with no sharding;
