@@ -70,6 +70,7 @@ def neural_forward(
     raster_kw: dict | None = None,
     with_counters: bool = False,
     incidence=None,
+    layout: str = "image",
 ):
     """Returns (pred_imgs [B, H, W, 3], masks [B, H, W, 1]); with
     `with_counters=True` appends the deferred renderer's capacity
@@ -82,6 +83,16 @@ def neural_forward(
     where the sample batch rides the rasterizer's view axis instead of a
     vmap; a Pallas core must not sit under vmap). albedo/vertex_feat may
     be per-sample [B, V, ·] or shared [V, ·] in the batched case.
+
+    layout="compact" (single-mesh MLP path only): the render runs in the
+    compact active-tile layout and ALL per-pixel math (PE + MLP) runs on
+    [B, ta_cap+1, P, ·] rows instead of the dense image — `ray` must
+    then be the TILED [B, T, 3, P] ray image (`deferred.tile_images`,
+    gathered here through the per-view tile list), and the returns are
+    compact rows (pred [B, TA1, P, 3], masks [B, TA1, P, 1], tlist
+    [, counters]). Loss values over the compact rows match the dense
+    image losses exactly: pixels outside active tiles are background
+    (masks 0) in both.
     """
     B = w2cs.shape[0]
     H, W = resolution
@@ -115,6 +126,42 @@ def neural_forward(
         rast, feat, _ = render_pixels(clip, attr, faces, (H, W),
                                       **(raster_kw or {}))
         counters = jnp.zeros((B, 3), jnp.int32)  # category path: unaudited
+    elif layout == "compact":
+        from ..raster.deferred import gather_tiles
+
+        ones = jnp.ones_like(vertices[:, :1])
+        normals_w = vertex_normals(vertices, faces,
+                                   incidence=incidence)  # [V, 3] world
+        attr = jnp.concatenate([ones, normals_w, albedo, uni], -1)
+        if not if_geo:
+            attr = jnp.concatenate([attr, vertex_feat], -1)
+        tr = render_scene(
+            vertices, faces, w2cs, projs, attr, (H, W),
+            aa_topology=None, layout="compact", **(raster_kw or {}))
+        tlist = tr["tlist"]
+        counters = tr["counters"]
+        feat = jnp.moveaxis(tr["feat"], 2, -1)       # [B, TA1, P, C]
+        # rays arrive TILED [B, T, 3, P]: gather active rows
+        ray = jnp.moveaxis(gather_tiles(ray, tlist, tr["grid"]["T"]),
+                           2, -1)                    # [B, TA1, P, 3]
+        masks = feat[..., :1]
+        nrm_view = jnp.einsum(
+            "btpk,bkl->btpl", feat[..., 1:4], w2cs[:, :3, :3])
+        feat = jnp.concatenate([feat[..., :1], nrm_view, feat[..., 4:]],
+                               -1)
+        if not if_geo:
+            input_f = jnp.concatenate(
+                [pe(feat[..., 1:4]), pe(feat[..., 4:7]),
+                 pe(feat[..., 7:10]), ray, feat[..., 10:30]], -1)
+        else:
+            input_f = jnp.concatenate(
+                [feat[..., 1:4], feat[..., 4:7], feat[..., 7:10],
+                 vertex_feat], -1)
+        out = apply_fn(params, input_f)
+        pred = jnp.where(masks > 0, out, 0.0)
+        if with_counters:
+            return pred, masks, tlist, counters
+        return pred, masks, tlist
     else:
         ones = jnp.ones_like(vertices[:, :1])
         normals_w = vertex_normals(vertices, faces,
@@ -263,11 +310,29 @@ def train_neural_renderer(
     _, _g_cap = audit_global_chunks(_clip0, faces_np, (H, W))
     raster_kw["global_cap"] = _g_cap
 
+    # Round 5: train in the COMPACT render layout when the tile audit is
+    # on and the head is the per-pixel MLP — PE + MLP then run on active
+    # tile rows only (FMHR_LAYOUT=tiled restores dense for A/B). Loss
+    # values are exact (outside active tiles the render mask is 0 in
+    # both layouts, so those pixels never enter the pooled loss).
+    train_layout = "image"
+    if (net_type == "mlp" and raster_kw.get("tiles_budget") is not None
+            and jax.default_backend() != "cpu"
+            and os.environ.get("FMHR_LAYOUT", "compact") == "compact"):
+        train_layout = "compact"
+
     # Image-sized tensors (imgs/rays/masks, ~500 MB at the full-res demo)
     # travel as jit ARGUMENTS through `data` — baking them into the
     # program as closure constants overflows the remote compiler's
     # request-size limit (HTTP 413; same fix as optim/ham.py).
-    data = {"imgs": imgs, "masks": gt_masks, "rays": rays}
+    if train_layout == "compact":
+        from ..raster.deferred import tile_images
+
+        data = {"imgs": tile_images(imgs, (H, W)),       # [N, T, 3, P]
+                "masks": tile_images(gt_masks, (H, W)),  # [N, T, P]
+                "rays": tile_images(rays, (H, W))}
+    else:
+        data = {"imgs": imgs, "masks": gt_masks, "rays": rays}
 
     def render(net_p, vf, verts, alb, idx, rng, data, if_geo=False,
                geo_p=None, img_z=None, with_counters=False):
@@ -279,8 +344,19 @@ def train_neural_renderer(
             img_z if if_geo else vf,
             (H, W), rng, if_geo=if_geo, uni_mode=uni_mode,
             raster_kw=raster_kw, with_counters=with_counters,
-            incidence=topo.vert_slot_incidence,
+            incidence=topo.vert_slot_incidence, layout=train_layout,
         )
+
+    def gathered_targets(idx, tlist):
+        """compact layout: image/mask targets for the active rows."""
+        from ..raster.deferred import gather_tiles
+
+        from ..raster.deferred import tile_grid
+        T = tile_grid((H, W))["T"]
+        img_g = jnp.moveaxis(
+            gather_tiles(data["imgs"][idx], tlist, T), 2, -1)
+        mask_g = gather_tiles(data["masks"][idx], tlist, T)
+        return img_g, mask_g
 
     def segmented_scan(run_seg, params, state, key, batches, steps_pe,
                        subdir, empty=None):
@@ -343,11 +419,17 @@ def train_neural_renderer(
     @jax.jit
     def run_phase1_seg(params, state, key, batch_seg, data):
         def loss_fn(p, idx, rng):
-            pred, masks = render(p["net"], p["vf"], vertices, albedo, idx,
-                                 rng, data)
+            if train_layout == "compact":
+                pred, masks, tlist = render(p["net"], p["vf"], vertices,
+                                            albedo, idx, rng, data)
+                img_g, mask_g = gathered_targets(idx, tlist)
+            else:
+                pred, masks = render(p["net"], p["vf"], vertices, albedo,
+                                     idx, rng, data)
+                img_g, mask_g = data["imgs"][idx], data["masks"][idx]
             valid = ((masks[..., 0] > 0)
-                     & (data["masks"][idx] > 0)).astype(jnp.float32)
-            h = optax.huber_loss(pred, data["imgs"][idx], delta=1.0)
+                     & (mask_g > 0)).astype(jnp.float32)
+            h = optax.huber_loss(pred, img_g, delta=1.0)
             num = jnp.sum(h * valid[..., None])
             den = jnp.maximum(jnp.sum(valid) * 3, 1.0)
             return 100.0 * num / den
@@ -386,23 +468,36 @@ def train_neural_renderer(
     def run_phase2_seg(params, state, key, batch_seg, data):
         def loss_fn(p, idx, rng):
             r1, r2 = jax.random.split(rng)
-            render_z, masks, counters = render(
-                p["net"], p["vf"], p["verts"], p["albedo"], idx, r1, data,
-                with_counters=True)
-            pred, masks = render(
-                None, None, p["verts"], p["albedo"], idx, r2, data,
-                if_geo=True, geo_p=p["net_g"],
-                img_z=jax.lax.stop_gradient(render_z),
-            )
+            if train_layout == "compact":
+                render_z, masks, tlist, counters = render(
+                    p["net"], p["vf"], p["verts"], p["albedo"], idx, r1,
+                    data, with_counters=True)
+                # same mesh + cameras -> identical tlist in both renders
+                pred, masks, _tl2 = render(
+                    None, None, p["verts"], p["albedo"], idx, r2, data,
+                    if_geo=True, geo_p=p["net_g"],
+                    img_z=jax.lax.stop_gradient(render_z),
+                )
+                img_t, mask_t = gathered_targets(idx, tlist)
+            else:
+                render_z, masks, counters = render(
+                    p["net"], p["vf"], p["verts"], p["albedo"], idx, r1,
+                    data, with_counters=True)
+                pred, masks = render(
+                    None, None, p["verts"], p["albedo"], idx, r2, data,
+                    if_geo=True, geo_p=p["net_g"],
+                    img_z=jax.lax.stop_gradient(render_z),
+                )
+                img_t, mask_t = data["imgs"][idx], data["masks"][idx]
             valid = ((masks[..., 0] > 0)
-                     & (data["masks"][idx] > 0)).astype(jnp.float32)
+                     & (mask_t > 0)).astype(jnp.float32)
 
             def ml1(a, b):
                 num = jnp.sum(jnp.abs(a - b) * valid[..., None])
                 return num / jnp.maximum(jnp.sum(valid) * 3, 1.0)
 
-            img_loss = ml1(pred, data["imgs"][idx])
-            imgz_loss = ml1(render_z, data["imgs"][idx])
+            img_loss = ml1(pred, img_t)
+            imgz_loss = ml1(render_z, img_t)
             lap = 100.0 * laplacian_smoothing(
                 p["verts"], edges, degrees,
                 nbr_incidence=topo.nbr_incidence)

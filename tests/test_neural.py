@@ -159,3 +159,82 @@ def test_neural_training_unet_path():
         num_epochs=2, batch=2, net_type="unet",
     )
     assert np.isfinite(l1).all() and np.isfinite(l2).all()
+
+
+def test_neural_forward_compact_matches_image():
+    """layout='compact' neural_forward (PE + MLP on active-tile rows)
+    reproduces the image-layout phase-1 loss and its net/feature
+    gradients. The pooled huber loss is identical because pixels outside
+    active tiles have render-mask 0 in both layouts."""
+    from fmhr_tpu.core.mesh import MeshTopology
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.optim.ham import project_verts
+    from fmhr_tpu.raster.deferred import (audit_deferred_rows,
+                                          audit_active_tiles, tile_images,
+                                          tile_grid, gather_tiles)
+    import optax
+
+    H, W, n_views = 48, 96, 2
+    verts, faces, w2cs, projs = hand_scene(
+        res=(H, W), n_views=n_views, subdiv=1, fill=0.3)
+    V = verts.shape[0]
+    topo = MeshTopology.build(faces, V)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((n_views, H, W, 3)), jnp.float32)
+    masks = jnp.asarray(
+        (rng.random((n_views, H, W)) > 0.3).astype(np.float32))
+    rays = jnp.asarray(rng.standard_normal((n_views, H, W, 3)),
+                       jnp.float32)
+    w2cs = jnp.asarray(w2cs)
+    projs = jnp.asarray(projs)
+    verts_j = jnp.asarray(verts)
+    clip = project_verts(verts_j, w2cs, projs)
+    _, rows_budget = audit_deferred_rows(clip, faces, (H, W))
+    _, ta_budget = audit_active_tiles(clip, faces, (H, W))
+    raster_kw = {"rows_budget": rows_budget, "tiles_budget": ta_budget}
+
+    pe = IcosahedronEncoding(min_deg=0, max_deg=1, scale=0.1)
+    net = RenderMLP(width=32, depth=2)
+    in_dim = pe.embedding_size * 3 + 3 + 20
+    net_p0 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, in_dim)))
+    albedo = jnp.full_like(verts_j, 0.5)
+    key = jax.random.PRNGKey(7)
+
+    imgs_t = tile_images(imgs, (H, W))
+    masks_t = tile_images(masks, (H, W))
+    rays_t = tile_images(rays, (H, W))
+    T = tile_grid((H, W))["T"]
+
+    def loss_image(p):
+        pred, m = neural_forward(
+            lambda pp, x: net.apply(pp, x), p["net"], pe, rays, w2cs,
+            projs, verts_j, faces, albedo, p["vf"], (H, W), key,
+            raster_kw=raster_kw, incidence=topo.vert_slot_incidence)
+        valid = ((m[..., 0] > 0) & (masks > 0)).astype(jnp.float32)
+        h = optax.huber_loss(pred, imgs, delta=1.0)
+        return (100.0 * jnp.sum(h * valid[..., None])
+                / jnp.maximum(jnp.sum(valid) * 3, 1.0))
+
+    def loss_compact(p):
+        pred, m, tlist = neural_forward(
+            lambda pp, x: net.apply(pp, x), p["net"], pe, rays_t, w2cs,
+            projs, verts_j, faces, albedo, p["vf"], (H, W), key,
+            raster_kw=raster_kw, incidence=topo.vert_slot_incidence,
+            layout="compact")
+        img_g = jnp.moveaxis(gather_tiles(imgs_t, tlist, T), 2, -1)
+        mask_g = gather_tiles(masks_t, tlist, T)
+        valid = ((m[..., 0] > 0) & (mask_g > 0)).astype(jnp.float32)
+        h = optax.huber_loss(pred, img_g, delta=1.0)
+        return (100.0 * jnp.sum(h * valid[..., None])
+                / jnp.maximum(jnp.sum(valid) * 3, 1.0))
+
+    params = {"net": net_p0, "vf": jnp.asarray(
+        rng.standard_normal((V, 20)) * 0.1, jnp.float32)}
+    li, gi = jax.value_and_grad(loss_image)(params)
+    lc, gc = jax.value_and_grad(loss_compact)(params)
+    np.testing.assert_allclose(float(lc), float(li), rtol=1e-5)
+    flat_i = jax.tree.leaves(gi)
+    flat_c = jax.tree.leaves(gc)
+    for a, b in zip(flat_i, flat_c):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
