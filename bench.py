@@ -149,9 +149,18 @@ def main() -> None:
 
     # auto-size the deferred record budget once at setup (static after)
     from fmhr_tpu.raster.deferred import (audit_deferred_rows,
-                                          audit_active_tiles)
+                                          audit_active_tiles,
+                                          detect_cull_sign)
+    # back-face culling, same policy as optim/ham.py: auto-detected from
+    # the start mesh, nonzero only for closed consistently-wound
+    # geometry where it is exact (the round-5 watertight template
+    # qualifies; open meshes keep both orientations). FMHR_CULL=0 for
+    # the A/B.
+    cull_env = os.environ.get("FMHR_CULL", "auto")
+    cull = (detect_cull_sign(verts, faces, w2cs, projs)
+            if cull_env == "auto" else int(cull_env))
     live_pairs, rows_budget = audit_deferred_rows(
-        project_verts(verts0, w2cs, projs), faces_j, (H, W))
+        project_verts(verts0, w2cs, projs), faces_j, (H, W), cull=cull)
     # active-tile grid compaction (audited per-view tile lists; the
     # kernels skip background tiles' grid steps, bit-identically).
     # FMHR_TILES_COMPACT=0 restores the dense grid for A/B.
@@ -161,7 +170,7 @@ def main() -> None:
         from fmhr_tpu.raster.deferred import dense_tile_count
 
         _, tiles_budget = audit_active_tiles(
-            project_verts(verts0, w2cs, projs), faces_j, (H, W))
+            project_verts(verts0, w2cs, projs), faces_j, (H, W), cull=cull)
         tiles_frac = tiles_budget / dense_tile_count(
             int(faces_j.shape[0]), (H, W))
 
@@ -169,7 +178,7 @@ def main() -> None:
     # full-res pipeline overflowed the fixed 64 default in round 5)
     from fmhr_tpu.raster.deferred import audit_global_chunks
     _, global_cap = audit_global_chunks(
-        project_verts(verts0, w2cs, projs), faces_j, (H, W))
+        project_verts(verts0, w2cs, projs), faces_j, (H, W), cull=cull)
 
     # FMHR_AA_BUDGET=audit switches the AA pass to the compact-pair path,
     # sized 2x from a concrete render of the start mesh (bit-identical to
@@ -234,7 +243,7 @@ def main() -> None:
                 [normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
             tiles_budget=tiles_budget, global_cap=global_cap,
-            layout=layout,
+            layout=layout, cull=cull, camera_grads=False,
         )
         if layout == "compact":
             from fmhr_tpu.optim.ham import stage_b_terms_compact
@@ -296,7 +305,8 @@ def main() -> None:
             jnp.concatenate([normals, params["albedo"], jnp.ones_like(v[:, :1])], -1),
             (H, W), aa_topology=topo_aa, rows_budget=rows_budget,
             tiles_budget=tiles_budget, aa_budget=aa_budget,
-            **({"global_cap": global_cap} if not args.impl else {}),
+            **({"global_cap": global_cap, "cull": cull}
+               if not args.impl else {}),
             **({"impl": args.impl} if args.impl else {}),
         )
         nrm = safe_normalize(feat[..., :3])
@@ -408,6 +418,7 @@ def main() -> None:
             "loss_first_last": [round(float(losses_np[0]), 4),
                                 round(float(losses_np[-1]), 4)],
             "fill": fill,
+            "cull": int(cull),
             "device": str(jax.devices()[0]),
         },
     }
@@ -428,7 +439,7 @@ def main() -> None:
             verts0 + params["delta"], faces_j, w2cs, projs,
             jnp.ones((V, 7), jnp.float32), (H, W), aa_topology=None,
             rows_budget=rows_budget, tiles_budget=tiles_budget,
-            global_cap=global_cap, layout="tiled")
+            global_cap=global_cap, layout="tiled", cull=cull)
         out["extra"]["overflow"] = np.asarray(tr["counters"]).sum(0).tolist()
         cov_ids = np.asarray(tr["ids"] > 0)
         valid_np = np.asarray(tr["grid"]["valid"])

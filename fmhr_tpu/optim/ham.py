@@ -494,7 +494,30 @@ def run_ham(
     from ..raster.deferred import audit_deferred_rows, audit_active_tiles
 
     clip0 = project_verts(vertices, w2cs, projs)
-    _, rows_budget = audit_deferred_rows(clip0, faces_np, res)
+    # back-face culling (deferred path): FMHR_CULL=auto (default)
+    # detects a safe sign from the start mesh — nonzero ONLY for closed
+    # consistently-wound geometry, where dropping the back orientation is
+    # exact (bit-identical winners; the reference's open MANO meshes
+    # detect 0 and keep nvdiffrast's both-orientations semantics). ~33%
+    # fewer pass-A (tile, chunk) pairs at prod geometry. "0" disables,
+    # "1"/"-1" force a sign (A/B).
+    cull_env = os.environ.get("FMHR_CULL", "auto")
+    if cull_env == "auto":
+        from ..raster.deferred import detect_cull_sign
+
+        cull = detect_cull_sign(np.asarray(vertices), faces_np,
+                                np.asarray(w2cs), np.asarray(projs))
+    else:
+        cull = int(cull_env)
+    if cull:
+        raster_kw["cull"] = cull
+    # Cameras are optimization CONSTANTS here: the deferred backward then
+    # accumulates ONE view-summed rest-space gradient table in-kernel
+    # instead of [B, rec, Fpad] (the round-5 attribution put the XLA
+    # view-sum reductions at ~22 ms/step standalone at prod). The mats
+    # cotangent is zero by contract — nothing differentiates cameras.
+    raster_kw["camera_grads"] = False
+    _, rows_budget = audit_deferred_rows(clip0, faces_np, res, cull=cull)
     raster_kw["rows_budget"] = rows_budget
     # active-tile grid compaction: at a real capture's ~5-7% coverage
     # most (view, tile) kernel grid steps are background fixed overhead;
@@ -505,14 +528,15 @@ def run_ham(
     if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
         from ..raster.deferred import dense_tile_count
 
-        _, tiles_budget = audit_active_tiles(clip0, faces_np, res)
+        _, tiles_budget = audit_active_tiles(clip0, faces_np, res,
+                                             cull=cull)
         raster_kw["tiles_budget"] = tiles_budget
         tiles_frac = tiles_budget / dense_tile_count(len(faces_np), res)
     # oversize-chunk (global-list) cap, audited like rows/tiles: the
     # full-res demo pipeline overflowed the fixed 64 default (r5)
     from ..raster.deferred import audit_global_chunks
 
-    _, g_cap = audit_global_chunks(clip0, faces_np, res)
+    _, g_cap = audit_global_chunks(clip0, faces_np, res, cull=cull)
     raster_kw["global_cap"] = g_cap
 
     sh_coeffs, albedo, valid_masks = sh_init(

@@ -298,16 +298,32 @@ def train_neural_renderer(
     # default cap, which can silently drop chunks on dense scenes.
     from ..raster.deferred import audit_deferred_rows, audit_active_tiles
     _clip0 = project_verts(vertices, w2cs, projs)
-    _, _rows_budget = audit_deferred_rows(_clip0, faces_np, (H, W))
-    raster_kw = {"rows_budget": _rows_budget}
+    # back-face culling + view-summed backward, same policy as
+    # optim/ham.py (cull: auto-detected, exact only on closed
+    # consistently-wound meshes; camera_grads=False: cameras are
+    # constants in both NR phases)
+    _cull_env = os.environ.get("FMHR_CULL", "auto")
+    if _cull_env == "auto":
+        from ..raster.deferred import detect_cull_sign
+
+        _cull = detect_cull_sign(np.asarray(vertices), faces_np,
+                                 np.asarray(w2cs), np.asarray(projs))
+    else:
+        _cull = int(_cull_env)
+    _, _rows_budget = audit_deferred_rows(_clip0, faces_np, (H, W),
+                                          cull=_cull)
+    raster_kw = {"rows_budget": _rows_budget, "camera_grads": False}
+    if _cull:
+        raster_kw["cull"] = _cull
     # active-tile grid compaction (see optim/ham.py): audited per-view
     # tile lists drop the background grid steps, bit-identically.
     if os.environ.get("FMHR_TILES_COMPACT", "1") != "0":
-        _, _tiles_budget = audit_active_tiles(_clip0, faces_np, (H, W))
+        _, _tiles_budget = audit_active_tiles(_clip0, faces_np, (H, W),
+                                              cull=_cull)
         raster_kw["tiles_budget"] = _tiles_budget
     # oversize-chunk (global-list) cap, audited like rows/tiles (r5)
     from ..raster.deferred import audit_global_chunks
-    _, _g_cap = audit_global_chunks(_clip0, faces_np, (H, W))
+    _, _g_cap = audit_global_chunks(_clip0, faces_np, (H, W), cull=_cull)
     raster_kw["global_cap"] = _g_cap
 
     # Round 5: train in the COMPACT render layout when the tile audit is

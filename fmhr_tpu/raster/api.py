@@ -281,6 +281,8 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
                     views_axis=kw.get("views_axis", "views"),
                     with_counters=kw.get("with_counters", False),
                     layout=layout,
+                    cull=kw.get("cull", 0),
+                    camera_grads=kw.get("camera_grads", True),
                     interpret=on_cpu, **kw_wc)
     if layout in ("tiled", "compact"):
         raise ValueError(f"layout={layout!r} requires the deferred path "
@@ -294,6 +296,8 @@ def render_scene(verts, faces, w2cs, projs, attr, resolution, impl="auto",
     kw.pop("winner_cap", None)   # deferred-path concept
     kw.pop("tiles_budget", None)  # deferred-path concept
     kw.pop("global_cap", None)   # deferred-path concept
+    kw.pop("cull", None)         # deferred-path concept
+    kw.pop("camera_grads", None)  # deferred-path concept
     out = render_pixels(clip, attr, faces, resolution, impl=impl,
                         aa_topology=aa_topology, **kw)
     if with_counters:

@@ -105,6 +105,15 @@ _PIX = TILE_H * TILE_W
 # hides it at negligible VMEM cost. Semantics identical at any depth.
 _PASSA_DEPTH = max(2, int(os.environ.get("FMHR_PASSA_DEPTH", "2")))
 
+# Winner-record extract pipeline depth (pass B + backward re-extract +
+# the backward RMW staging). Measured FLAT on v5e at the prod preset
+# (depth 2/4/6 -> 64.94/64.95/64.84 ms full step, round-5 A/B): the
+# extract loop is NOT DMA-latency bound — the double-buffered prefetch
+# already hides the 3-copy round trip behind the per-winner compute
+# (one-hot + [rec, K]x[K, P] HIGHEST matmul + add). Default stays 2;
+# the knob remains for A/B on other parts.
+_EXTRACT_DEPTH = max(2, int(os.environ.get("FMHR_EXTRACT_DEPTH", "2")))
+
 _BIG = np.float32(3.0e38)
 _NEG = np.float32(-1.0e30)  # invalid-face C0 marker (headroom vs bf16x6)
 _INT_BIG = np.int32(1 << 30)
@@ -316,13 +325,27 @@ def _plan(F, V, C, H, W, max_span, global_cap, pairs_budget=None,
 # Per-view work-list build (pure XLA, non-differentiable structure)
 # --------------------------------------------------------------------------
 
-def _tile_ranges_t(sx, sy, w, p, H, W):
+def _face_orient(sx, sy):
+    """Signed double area of each projected face, [3, F] screen coords.
+
+    Positive scalings map NDC to pixels, so the sign equals the
+    pixel-space orientation `d` used by `_coeff_table`.
+    """
+    return ((sx[1] - sx[0]) * (sy[2] - sy[0])
+            - (sx[2] - sx[0]) * (sy[1] - sy[0]))
+
+
+def _tile_ranges_t(sx, sy, w, p, H, W, cull=0):
     """Per-face tile bbox from TRANSPOSED screen coords.
 
     sx/sy/w: [3, F] for one view. Same semantics as
     visibility._face_tile_ranges but without needing [F, 3, 4] tri.
+    cull: 0 = keep both orientations; ±1 = drop faces whose signed
+    screen area `d` has the opposite sign (see `detect_cull_sign`).
     """
     in_front = jnp.all(w > W_EPS, axis=0)
+    if cull:
+        in_front = in_front & (_face_orient(sx, sy) * cull > 0)
     x_pix = (sx + 1.0) * (W * 0.5)
     y_pix = (sy + 1.0) * (H * 0.5)
     xmin = jnp.clip(jnp.floor(jnp.min(x_pix, 0)), 0, W - 1)
@@ -343,7 +366,7 @@ def _tile_ranges_t(sx, sy, w, p, H, W):
     return tx0, ty0, span_x, span_y, valid
 
 
-def _chunk_bboxes(sx, sy, w, p, H, W):
+def _chunk_bboxes(sx, sy, w, p, H, W, cull=0):
     """Per-CHUNK tile bboxes from [3, F] screen coords.
 
     The mesh face order is spatially coherent (subdivision order), so a
@@ -356,7 +379,8 @@ def _chunk_bboxes(sx, sy, w, p, H, W):
     """
     F = sx.shape[1]
     nc = p["nc"]
-    tx0, ty0, span_x, span_y, valid = _tile_ranges_t(sx, sy, w, p, H, W)
+    tx0, ty0, span_x, span_y, valid = _tile_ranges_t(sx, sy, w, p, H, W,
+                                                     cull=cull)
     tx1 = tx0 + span_x - 1
     ty1 = ty0 + span_y - 1
     big = jnp.int32(1 << 20)
@@ -405,7 +429,7 @@ def _glob_lists(g_mask, p):
     return g_list, g_cnt, g_drop
 
 
-def _build_lists(sx, sy, w, p, *, H, W, max_span):
+def _build_lists(sx, sy, w, p, *, H, W, max_span, cull=0):
     """One view's (tile, chunk) work lists from [3, F] screen coords.
 
     Returns (chunk_list [pair_cap] int32, starts [T], ends [T],
@@ -428,7 +452,7 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     tiles_x = p["tiles_x"]
     cap = p["pair_cap"]
     ctx0, cty0, cspan_x, cspan_y, any_valid = _chunk_bboxes(
-        sx, sy, w, p, H, W)
+        sx, sy, w, p, H, W, cull=cull)
     n_tiles = cspan_x * cspan_y
     g_mask = any_valid & (n_tiles > S)   # oversize chunks: every tile
     emit = any_valid & ~g_mask
@@ -490,7 +514,7 @@ def _build_lists(sx, sy, w, p, *, H, W, max_span):
     return chunk_list, starts, ends, g_list, g_cnt, n_drop, g_drop
 
 
-def _coeff_table(coords_t, p, H, W):
+def _coeff_table(coords_t, p, H, W, cull=0):
     """Pass-A affine coefficient table + per-chunk anchors for ONE view.
 
     coords_t: [12, F] transposed clip coords (x0 y0 z0 w0 x1 ... w2).
@@ -554,6 +578,11 @@ def _coeff_table(coords_t, p, H, W):
     # oracle guard |d_ndc| > AREA_EPS, rescaled to pixel² units
     area_eps_pix = np.float32(AREA_EPS * (W * 0.5) * (H * 0.5))
     valid = valid & (sd > area_eps_pix)
+    if cull:
+        # back-face culling: only the kept orientation may ever cover.
+        # Exact (bit-identical winners) on closed consistently-wound
+        # meshes — the nearest visible face is always front-facing.
+        valid = valid & (s * cull > 0)
 
     A0, B0, C0 = s * A0, s * B0, s * C0
     A1, B1, C1 = s * A1, s * B1, s * C1
@@ -945,17 +974,19 @@ def _extract_loop(p, b, bs, wcnt, chunk_at, slot_col, dyn_hbm, ids_hbm,
                 tri_buf.at[slot_i, 24:rec], sems.at[slot_i, 2]),
         )
 
-    @pl.when(wcnt > 0)
-    def _():
-        for d in dmas(0, 0):
-            d.start()
+    D = _EXTRACT_DEPTH
+    for i in range(D - 1):
+        @pl.when(i < wcnt)
+        def _(i=i):
+            for d in dmas(i, i):
+                d.start()
 
     def loop(ci, recm):
-        sl = jax.lax.rem(ci, 2)
+        sl = jax.lax.rem(ci, D)
 
-        @pl.when(ci + 1 < wcnt)
+        @pl.when(ci + D - 1 < wcnt)
         def _():
-            for d in dmas(jax.lax.rem(ci + 1, 2), ci + 1):
+            for d in dmas(jax.lax.rem(ci + D - 1, D), ci + D - 1):
                 d.start()
 
         for d in dmas(sl, ci):
@@ -1033,8 +1064,9 @@ def _make_passb_kernel(p, C, compact=False):
         def _():
             pl.run_scoped(
                 body,
-                tri_buf=pltpu.VMEM((2, p["rec"], _CHUNK), jnp.float32),
-                sems=pltpu.SemaphoreType.DMA((2, 3)),
+                tri_buf=pltpu.VMEM((_EXTRACT_DEPTH, p["rec"], _CHUNK),
+                                   jnp.float32),
+                sems=pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH, 3)),
             )
 
     return kernel
@@ -1163,8 +1195,9 @@ def _make_fused_kernel(p, C, compact=False):
                 body,
                 tri_a=pltpu.VMEM((_PASSA_DEPTH, 16, K), jnp.float32),
                 sems_a=pltpu.SemaphoreType.DMA((_PASSA_DEPTH,)),
-                tri_b=pltpu.VMEM((2, p["rec"], K), jnp.float32),
-                sems_b=pltpu.SemaphoreType.DMA((2, 3)),
+                tri_b=pltpu.VMEM((_EXTRACT_DEPTH, p["rec"], K),
+                                 jnp.float32),
+                sems_b=pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH, 3)),
                 wsc=pltpu.SMEM((1, wcap), jnp.int32),
             )
 
@@ -1263,7 +1296,7 @@ def _shade_vjp(recm, g, px, py, C):
     return rows, [ga0, ga1, ga2]
 
 
-def _make_bwd_kernel(p, C, compact=False):
+def _make_bwd_kernel(p, C, compact=False, sum_views=False):
     """Per-tile backward: re-extract the winners' records, run the
     hand-written shading VJP on [1, P] rows, then reduce the record
     gradients straight into face-table layout:
@@ -1276,6 +1309,15 @@ def _make_bwd_kernel(p, C, compact=False):
     stores are drained before the kernel body returns, so the
     read-modify-write is race-free; g_tab is zero-initialised via
     input/output aliasing.
+
+    sum_views: gtab is [1, rec, Fpad] accumulated ACROSS the view grid
+    axis (legal for the same sequential-grid reason), with the 12
+    clip-coordinate gradient rows transformed to REST space in-kernel by
+    the per-view projection matrix (rows j*3+k = Σ_c mats[b,j,c] ·
+    g_clip[c*3+k] — 48 scalar·row FMAs per covered tile). The XLA
+    reductions downstream then run on a B-times smaller table with no
+    view sum; camera (mats) gradients are no longer recoverable, so this
+    mode requires camera_grads=False.
     """
     rec = p["rec"]
     K = _CHUNK
@@ -1285,10 +1327,21 @@ def _make_bwd_kernel(p, C, compact=False):
         # slot_ref [1,1,P,1] int32; g_ref [1,1,rows_out,P] f32
         # dyn/ids/sta_hbm: forward record table blocks (re-read)
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
-        # gtab_hbm [B, rec, Fpad] ANY (zero-initialised via aliasing)
+        # [sum_views] mats_ref [1, 16] f32 SMEM: this view's projection
+        # gtab_hbm [B|1, rec, Fpad] ANY (zero-initialised via aliasing)
         if compact:
-            (tlist_ref, wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm,
-             ids_hbm, sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr,
+            if sum_views:
+                (tlist_ref, wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm,
+                 ids_hbm, sta_hbm, zeros_ref, mats_ref, gtab_hbm, tri_buf,
+                 grec_scr, stage_in, stage_out, sems_t, sems_r,
+                 sems_w) = refs
+            else:
+                (tlist_ref, wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm,
+                 ids_hbm, sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr,
+                 stage_in, stage_out, sems_t, sems_r, sems_w) = refs
+        elif sum_views:
+            (wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
+             sta_hbm, zeros_ref, mats_ref, gtab_hbm, tri_buf, grec_scr,
              stage_in, stage_out, sems_t, sems_r, sems_w) = refs
         else:
             (wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
@@ -1317,6 +1370,15 @@ def _make_bwd_kernel(p, C, compact=False):
                                  tri_buf, sems_t)
             px, py = _pix_ndc(p, t)
             coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
+            if sum_views:
+                # clip -> rest space: g_rest[j, k] = Σ_c m[j, c]·g_clip[c, k]
+                # (coord rows are component-major c*3+k; the transformed
+                # rows are stored j*3+k). 48 scalar-broadcast FMAs.
+                coord_rows = [
+                    sum(mats_ref[b, j * 4 + c] * coord_rows[c * 3 + k]
+                        for c in range(4))
+                    for j in range(4) for k in range(3)
+                ]
             zero = jnp.zeros((1, _PIX), jnp.float32)
             # single-row stores only (Mosaic sublane-alignment rule); rows
             # 12:24 (coord pad + id/eids) carry no gradient
@@ -1333,26 +1395,32 @@ def _make_bwd_kernel(p, C, compact=False):
             grec = grec_scr[...]
 
             # ---- accumulate into the face-table gradient (RMW)
+            bg = 0 if sum_views else b
+
             def rd(sl, ci):
                 k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
                 return pltpu.make_async_copy(
-                    gtab_hbm.at[b, :, pl.ds(k0, K)], stage_in.at[sl],
+                    gtab_hbm.at[bg, :, pl.ds(k0, K)], stage_in.at[sl],
                     sems_r.at[sl])
 
             def wr(sl, ci):
                 k0 = pl.multiple_of(wlist_ref[0, 0, 0, ci] * K, K)
                 return pltpu.make_async_copy(
-                    stage_out.at[sl], gtab_hbm.at[b, :, pl.ds(k0, K)],
+                    stage_out.at[sl], gtab_hbm.at[bg, :, pl.ds(k0, K)],
                     sems_w.at[sl])
 
-            rd(0, 0).start()
+            D = _EXTRACT_DEPTH
+            for i in range(D - 1):
+                @pl.when(i < n_iter)
+                def _(i=i):
+                    rd(i, i).start()
 
             def loop(ci, _):
-                sl = jax.lax.rem(ci, 2)
+                sl = jax.lax.rem(ci, D)
 
-                @pl.when(ci + 1 < n_iter)
+                @pl.when(ci + D - 1 < n_iter)
                 def _():
-                    rd(jax.lax.rem(ci + 1, 2), ci + 1).start()
+                    rd(jax.lax.rem(ci + D - 1, D), ci + D - 1).start()
 
                 c = wlist_ref[0, 0, 0, ci]
                 onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
@@ -1363,25 +1431,26 @@ def _make_bwd_kernel(p, C, compact=False):
                     precision=jax.lax.Precision.HIGHEST,  # bf16: grad quantize
                 )  # [rec, K]
                 rd(sl, ci).wait()
-                # wait for the store that used this staging slot two iters
-                # ago
-                @pl.when(ci >= 2)
+                # wait for the store that used this staging slot D iters
+                # ago before overwriting it (distinct chunks within a
+                # tile, so read-prefetch never aliases a pending write)
+                @pl.when(ci >= D)
                 def _():
-                    wr(sl, ci - 2).wait()
+                    wr(sl, ci - D).wait()
                 stage_out[sl] = stage_in[sl] + gc
                 wr(sl, ci).start()
                 return 0
 
             jax.lax.fori_loop(0, n_iter, loop, 0)
 
-            # drain outstanding stores (the last two loop iterations') so
+            # drain outstanding stores (the last D loop iterations') so
             # the next grid step's reads observe them
-            for i in range(2):
-                ci = n_iter - 2 + i
+            for i in range(D):
+                ci = n_iter - D + i
 
                 @pl.when(ci >= 0)
                 def _(ci=ci):
-                    wr(jax.lax.rem(ci, 2), ci).wait()
+                    wr(jax.lax.rem(ci, D), ci).wait()
 
     return kernel
 
@@ -1400,7 +1469,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                       shared_attr: bool = False, interpret: bool = False,
                       projected: bool = False, tiled: bool = False,
                       fused: bool | None = None,
-                      compact_out: bool = False):
+                      compact_out: bool = False, cull: int = 0,
+                      camera_grads: bool = True):
     """Cached custom_vjp'd core for one (topology, config).
 
     Returned fn: (clip [B, V, 4], attr [B, V, C] — or [V, C] when
@@ -1435,9 +1505,16 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         # path, and the two-pass kernels
         assert tiled and tiles_budget is not None and not fused, (
             "compact_out needs tiled=True, a tiles_budget, and fused=False")
+    # camera_grads=False (projected + shared attrs only): the backward
+    # kernel transforms coordinate gradients to rest space in-kernel and
+    # accumulates ONE view-summed [rec, Fpad] gradient table instead of
+    # [B, rec, Fpad] — the downstream XLA reductions shrink B-fold. The
+    # mats cotangent is then identically ZERO (cameras are constants in
+    # every trainer); keep camera_grads=True to differentiate cameras.
+    sum_views = projected and shared_attr and not camera_grads
     key = (id(topo), C, H, W, max_span, global_cap, rows_budget,
            winner_cap, tiles_budget, shared_attr, interpret, projected,
-           tiled, fused, compact_out)
+           tiled, fused, compact_out, cull, sum_views)
     if key in _CORE_CACHE:
         return _CORE_CACHE[key]
 
@@ -1517,7 +1594,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
         # pass-A coefficient table + anchors
         tab_a, anchors = jax.vmap(
-            lambda ct: _coeff_table(ct, p, H, W))(coords_t)
+            lambda ct: _coeff_table(ct, p, H, W, cull=cull))(coords_t)
 
         # work lists from the transposed coords (screen xy + w rows)
         w_rows = coords_t[:, 9:12]                       # [B, 3, F]
@@ -1526,7 +1603,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         sy_rows = coords_t[:, 3:6] * iw
         chunk_list, starts, ends, g_list, g_cnt, n_drop, g_drop = jax.vmap(
             lambda sx, sy, w: _build_lists(
-                sx, sy, w, p, H=H, W=W, max_span=max_span)
+                sx, sy, w, p, H=H, W=W, max_span=max_span, cull=cull)
         )(sx_rows, sy_rows, w_rows)
 
         meta = jnp.stack(
@@ -1556,7 +1633,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 # same bboxes as _build_lists (XLA CSEs the shared math);
                 # globals included — their coverage is also bbox-bounded
                 ctx0, cty0, csx, csy, av = _chunk_bboxes(
-                    sx, sy, w, p, H, W)
+                    sx, sy, w, p, H, W, cull=cull)
                 hit = (
                     av[:, None]
                     & (txg[None, :] >= ctx0[:, None])
@@ -1798,9 +1875,11 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         return (pix, ids, counters, slot, wmeta, wlist, tab_dyn, tab_ids,
                 tab_sta, tlist)
 
-    def _bwd_gtab(res, cts):
+    def _bwd_gtab(res, cts, mats=None):
         """Shared backward trunk: pixel cotangents -> face-table gradient
-        [B, rec, Fpad] (kernel) + attribute gradient."""
+        [B, rec, Fpad] (kernel) + attribute gradient. With sum_views the
+        table is [1, rec, Fpad], already summed over views and with the
+        coordinate rows in REST space (mats required)."""
         g_pix = cts[0]
         slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, tlist, B = res
         compact = tlist is not None
@@ -1825,8 +1904,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             # is constant background, so their true input gradient is 0.
             g = jnp.pad(g, ((0, 0), (0, 1), (0, 0), (0, 0)))
 
-        kernel = _make_bwd_kernel(p, C, compact=compact)
-        zeros = jnp.zeros((B, rec, Fpad), jnp.float32)
+        kernel = _make_bwd_kernel(p, C, compact=compact,
+                                  sum_views=sum_views)
+        Bg = 1 if sum_views else B
+        zeros = jnp.zeros((Bg, rec, Fpad), jnp.float32)
         bwd_in = [
             pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -1845,16 +1926,25 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         ]
         bwd_out = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((2, rec, K), jnp.float32),
+            pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32),
             pltpu.VMEM((rec, _PIX), jnp.float32),
-            pltpu.VMEM((2, rec, K), jnp.float32),
-            pltpu.VMEM((2, rec, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32),
+            pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH, 3)),
+            pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH,)),
+            pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH,)),
         ]
         bwd_args = (wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_ids,
                     tab_sta, zeros)
+        if sum_views:
+            # per-view projection matrices for the in-kernel rest-space
+            # transform, [B, 16] row-major (j, c) in SMEM. The block is
+            # the WHOLE array (1 KB at 16 views) — Mosaic requires block
+            # dims divisible by (8, 128) or equal to the array's, and
+            # the kernel indexes its own view row by program id.
+            bwd_in = bwd_in + [pl.BlockSpec(
+                (B, 16), lambda b, t: (0, 0), memory_space=pltpu.SMEM)]
+            bwd_args = bwd_args + (mats.reshape(B, 16),)
         if compact:
             def wrap(s):
                 if s.block_shape is None:
@@ -1888,7 +1978,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             alias = {7: 0}
         gtab = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((B, rec, Fpad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Bg, rec, Fpad), jnp.float32),
             input_output_aliases=alias,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -1896,6 +1986,15 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         )(*bwd_args)
 
         inc_j = jnp.asarray(inc_np)                    # [V, D]
+
+        if sum_views:
+            # already view-summed by the kernel (sum_views => shared_attr)
+            g_af = (gtab[0, 24:24 + 3 * C, :F].reshape(3, C, F)
+                    .transpose(2, 0, 1).reshape(F * 3, C))
+            g_af = jnp.concatenate(
+                [g_af, jnp.zeros((1, C), g_af.dtype)], axis=0)
+            g_attr = g_af[inc_j].sum(axis=1)           # [V, C]
+            return gtab, g_attr, inc_j, B
 
         g_attr_t = gtab[:, 24:24 + 3 * C, :F].reshape(B, 3, C, F)
         if shared_attr:
@@ -1954,6 +2053,19 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 
         def core_bwd(res, cts):
             tri_rest, mats = res[-2:]
+            if sum_views:
+                gtab, g_attr, inc_j, B = _bwd_gtab(res[:-2], cts,
+                                                   mats=mats)
+                # rows j*3+k (rest space, view-summed in-kernel) ->
+                # corner-major [F*3, 4] -> ONE incidence gather
+                g_rest = (gtab[0, :12, :F].reshape(4, 3, F)
+                          .transpose(2, 1, 0).reshape(F * 3, 4))
+                g_rest = jnp.concatenate(
+                    [g_rest, jnp.zeros((1, 4), g_rest.dtype)], axis=0)
+                g_vh = g_rest[inc_j].sum(axis=1)       # [V, 4]
+                # camera_grads=False: mats cotangent not recoverable from
+                # the summed table — identically zero by contract
+                return g_vh[:, :3], jnp.zeros_like(mats), g_attr
             gtab, g_attr, inc_j, B = _bwd_gtab(res[:-2], cts)
             g_tri = gtab[:, :12, :F].reshape(B, 4, 3, F)
             # transpose of the projection matmul: back to rest space,
@@ -1980,7 +2092,8 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
 # High-level render path (mirrors api.render_pixels)
 # --------------------------------------------------------------------------
 
-def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
+def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None,
+                        cull: int = 0):
     """Per-view live (tile, chunk) pair counts for sizing `rows_budget`.
 
     clip [B, V, 4] (concrete); returns (live_counts [B] np, suggested
@@ -2006,7 +2119,7 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
         iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
         sx_, sy_ = sx_ * iw, sy_ * iw
         _, _, cspan_x, cspan_y, any_valid = _chunk_bboxes(
-            sx_, sy_, w_, p, H, W)
+            sx_, sy_, w_, p, H, W, cull=cull)
         n_tiles = cspan_x * cspan_y
         emit = any_valid & (n_tiles <= max_span)
         return jnp.sum(jnp.where(emit, n_tiles, 0))
@@ -2022,7 +2135,8 @@ def audit_deferred_rows(clip, faces, resolution, max_span: int | None = None):
     return live, min(budget, nc * max_span)
 
 
-def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
+def audit_active_tiles(clip, faces, resolution, max_span: int | None = None,
+                       cull: int = 0):
     """Per-view count of tiles touched by ANY chunk bbox, for sizing
     `tiles_budget` (the active-tile compacted kernel grid).
 
@@ -2049,7 +2163,8 @@ def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
         w_ = tri[..., 3].T
         iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
         sx_, sy_ = sx_ * iw, sy_ * iw
-        ctx0, cty0, csx, csy, av = _chunk_bboxes(sx_, sy_, w_, p, H, W)
+        ctx0, cty0, csx, csy, av = _chunk_bboxes(sx_, sy_, w_, p, H, W,
+                                                 cull=cull)
         t_ar = jnp.arange(T, dtype=jnp.int32)
         txg = t_ar % tiles_x
         tyg = t_ar // tiles_x
@@ -2072,7 +2187,7 @@ def audit_active_tiles(clip, faces, resolution, max_span: int | None = None):
 
 
 def audit_global_chunks(clip, faces, resolution,
-                        max_span: int | None = None):
+                        max_span: int | None = None, cull: int = 0):
     """Per-view count of GLOBAL (oversize) chunks — chunks whose tile
     span exceeds max_span and therefore ride the per-view global list
     bounded by `global_cap`. Round 5: the full-res pipeline overflowed
@@ -2099,7 +2214,8 @@ def audit_global_chunks(clip, faces, resolution,
         w_ = tri[..., 3].T
         iw = 1.0 / jnp.where(jnp.abs(w_) > W_EPS, w_, W_EPS)
         sx_, sy_ = sx_ * iw, sy_ * iw
-        _, _, csx, csy, av = _chunk_bboxes(sx_, sy_, w_, p, H, W)
+        _, _, csx, csy, av = _chunk_bboxes(sx_, sy_, w_, p, H, W,
+                                           cull=cull)
         return jnp.sum(av & (csx * csy > max_span))
 
     clip_np = np.asarray(clip)
@@ -2128,7 +2244,7 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                            with_aa: bool = True, aa_budget=None,
                            interpret: bool = False,
                            mesh=None, views_axis: str = "views",
-                           with_counters: bool = False):
+                           with_counters: bool = False, cull: int = 0):
     """Deferred-path drop-in for api.render_pixels.
 
     clip [B, V, 4]; attr [V, C] or [B, V, C]. Returns
@@ -2161,7 +2277,7 @@ def render_pixels_deferred(clip, attr, topo: DeferredTopology, resolution,
                              rows_budget=rows_budget, winner_cap=winner_cap,
                              tiles_budget=tiles_budget,
                              shared_attr=attr.ndim == 2,
-                             interpret=interpret)
+                             interpret=interpret, cull=cull)
     if mesh is not None and views_axis in mesh.axis_names:
         try:
             from jax import shard_map
@@ -2421,7 +2537,9 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                             mesh=None, views_axis: str = "views",
                             with_counters: bool = False,
                             layout: str = "image",
-                            fused: bool | None = None):
+                            fused: bool | None = None,
+                            cull: int = 0,
+                            camera_grads: bool = True):
     """render_pixels_deferred with the per-view projection INSIDE the
     core: verts [V, 3] rest positions, mats [B, 4, 4] row-vector
     view-projection matrices (w2c @ proj, transposed convention as in
@@ -2445,7 +2563,8 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                              interpret=interpret, projected=True,
                              tiled=tiled,
                              fused=False if compact_out else fused,
-                             compact_out=compact_out)
+                             compact_out=compact_out, cull=cull,
+                             camera_grads=camera_grads)
     if mesh is not None and views_axis in mesh.axis_names:
         try:
             from jax import shard_map
@@ -2475,3 +2594,80 @@ def render_pixels_projected(verts, mats, attr, topo: DeferredTopology,
                                         with_aa, resolution, counters)
     return _finalize_deferred(pix, ids, topo, C, verts.dtype, with_aa,
                               aa_budget, counters, with_counters)
+
+def detect_cull_sign(verts, faces, w2cs, projs, tol: float = 1e-3):
+    """Host-side auto-detection of a safe back-face culling sign.
+
+    Returns +1 or -1 when ALL of the following hold, else 0 (cull off):
+
+    1. the mesh is CLOSED with CONSISTENT winding: every directed edge
+       appears exactly once and every undirected edge exactly twice —
+       the precise condition under which the nearest visible face at any
+       pixel is front-facing, so culling the opposite screen orientation
+       is exact (bit-identical winners);
+    2. across every view, the screen-space orientation `d` of
+       geometrically front-facing faces (camera-space normal toward the
+       eye) has one consistent sign, and back faces the opposite —
+       |d|-weighted disagreement below `tol` (near-degenerate slivers
+       under the `AREA_EPS` coverage guard cannot affect the render and
+       are allowed to disagree).
+
+    The reference's meshes (real MANO) are OPEN at the wrist — interior
+    back faces ARE visible through the opening in nvdiffrast too
+    (`/root/reference/mesh_sfs_optim.py:142-147` never culls), so this
+    returns 0 there and the renderer keeps both orientations. Closed
+    meshes (e.g. the watertight synthetic template) get the ~2x pass-A
+    pair reduction for free. Caveat: a SELF-INTERSECTING closed mesh can
+    expose a back face; detection runs on the start mesh, so extreme
+    optimization-time deformations void the exactness (displacements in
+    this pipeline are edge-penalty-bounded at ~1e-3 of the hand scale).
+    """
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    V = int(verts.shape[0])
+    # drop degenerate (padding) faces: repeated vertex ids
+    nondeg = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+              & (faces[:, 0] != faces[:, 2]))
+    f = faces[nondeg]
+    if f.shape[0] == 0:
+        return 0
+    # 1. closed + consistent winding
+    de = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    dkey = de[:, 0] * V + de[:, 1]
+    if np.unique(dkey).size != dkey.size:
+        return 0  # a directed edge repeats -> inconsistent winding
+    ukey = np.minimum(de[:, 0], de[:, 1]) * V + np.maximum(de[:, 0],
+                                                           de[:, 1])
+    _, cnt = np.unique(ukey, return_counts=True)
+    if not np.all(cnt == 2):
+        return 0  # boundary or non-manifold edge -> open mesh
+    # 2. per-view orientation vote
+    w2cs = np.asarray(w2cs, np.float64)
+    projs = np.asarray(projs, np.float64)
+    vh = np.concatenate([verts, np.ones((V, 1))], axis=1)
+    sign = 0
+    for b in range(w2cs.shape[0]):
+        cam = vh @ w2cs[b]                      # row-vector convention
+        clip = cam @ projs[b]
+        tri_c = cam[:, :3][f]                   # [F, 3, 3] camera space
+        n = np.cross(tri_c[:, 1] - tri_c[:, 0], tri_c[:, 2] - tri_c[:, 0])
+        front = np.einsum("fi,fi->f", n, tri_c.mean(axis=1)) < 0
+        w = clip[:, 3][f]                       # [F, 3]
+        ok = np.all(w > W_EPS, axis=1)
+        sx = clip[:, 0][f] / np.where(np.abs(w) > W_EPS, w, W_EPS)
+        sy = clip[:, 1][f] / np.where(np.abs(w) > W_EPS, w, W_EPS)
+        d = ((sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0])
+             - (sx[:, 2] - sx[:, 0]) * (sy[:, 1] - sy[:, 0]))
+        # |d|-weighted vote: front faces vote sign(d), back faces -sign(d)
+        vote = np.where(front, d, -d)[ok]
+        total = np.abs(vote).sum()
+        if total <= 0:
+            continue
+        s = 1 if vote.sum() > 0 else -1
+        bad = np.abs(vote[np.sign(vote) == -s]).sum() / total
+        if bad > tol:
+            return 0
+        if sign and s != sign:
+            return 0
+        sign = s
+    return int(sign)

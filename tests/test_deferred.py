@@ -1126,3 +1126,113 @@ def test_compact_layout_matches_tiled():
     gc = jax.grad(scalar(terms_compact))(params)
     for k in gt:
         np.testing.assert_array_equal(np.asarray(gt[k]), np.asarray(gc[k]))
+
+
+def test_backface_cull_detection_and_bit_identity():
+    """cull=detect_cull_sign(...) is bit-identical (winners, features,
+    AA output, gradients) to cull=0 on the watertight synthetic hand —
+    the optimization back-face culling exposes — and detection refuses
+    open or inconsistently-wound meshes."""
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.raster import render_scene, AATopology, apply_antialias
+    from fmhr_tpu.raster.deferred import (
+        detect_cull_sign, audit_deferred_rows)
+    from fmhr_tpu.optim.ham import project_verts
+
+    res = (32, 64)
+    verts, faces, w2cs, projs = hand_scene(
+        res=res, n_views=2, subdiv=1, fill=0.3)
+    sign = detect_cull_sign(verts, faces, w2cs, projs)
+    assert sign in (-1, 1), "watertight template must detect a cull sign"
+
+    # an open mesh (drop one face) and a winding flip must refuse
+    assert detect_cull_sign(verts, faces[1:], w2cs, projs) == 0
+    flipped = np.concatenate([faces[:1, ::-1], faces[1:]])
+    assert detect_cull_sign(verts, flipped, w2cs, projs) == 0
+
+    # culled audit sees roughly half the pairs
+    clip = project_verts(jnp.asarray(verts), jnp.asarray(w2cs),
+                         jnp.asarray(projs))
+    # pair reduction is chunk-granular (a chunk drops only when ALL its
+    # 128 faces cull): ~13% at this toy density, 33% at prod geometry
+    # (35,400 -> 23,791 pairs, measured round 5)
+    live0, _ = audit_deferred_rows(clip, faces, res)
+    live1, _ = audit_deferred_rows(clip, faces, res, cull=sign)
+    assert live1.sum() < 0.95 * live0.sum()
+
+    topo_aa = AATopology.build(faces, verts.shape[0])
+    rng = np.random.default_rng(3)
+    attr0 = jnp.asarray(rng.standard_normal((verts.shape[0], 4)),
+                        jnp.float32)
+    gimg = jnp.asarray(rng.standard_normal((2,) + res + (4,)), jnp.float32)
+
+    def run(cull):
+        def loss(v, attr):
+            rast, feat, aa_w = render_scene(
+                v, faces, jnp.asarray(w2cs), jnp.asarray(projs), attr,
+                res, impl="deferred", aa_topology=topo_aa, cull=cull)
+            out = apply_antialias(feat, aa_w)
+            return (jnp.sum(out * gimg) + jnp.sum(rast[..., 2] ** 2),
+                    (rast, feat))
+
+        (l, (rast, feat)), g = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(jnp.asarray(verts), attr0)
+        return l, rast, feat, g
+
+    l0, rast0, feat0, g0 = run(0)
+    l1, rast1, feat1, g1 = run(sign)
+    np.testing.assert_array_equal(np.asarray(rast0[..., 3]),
+                                  np.asarray(rast1[..., 3]))
+    assert np.asarray(rast0[..., 3] > 0).any(), "scene must cover pixels"
+    np.testing.assert_array_equal(np.asarray(feat0), np.asarray(feat1))
+    np.testing.assert_array_equal(float(l0), float(l1))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+    # the wrong sign is NOT identical (sanity that the flag does something)
+    _, rastw, _, _ = run(-sign)
+    assert not np.array_equal(np.asarray(rast0[..., 3]),
+                              np.asarray(rastw[..., 3]))
+
+
+def test_camera_grads_false_sums_views_in_kernel():
+    """camera_grads=False (the trainers' setting): the backward kernel
+    accumulates ONE view-summed rest-space gradient table instead of
+    [B, rec, Fpad]. Vertex/attr grads match the per-view formulation to
+    reassociation tolerance; the mats cotangent is zero by contract."""
+    from fmhr_tpu.data.synthetic import hand_scene
+    from fmhr_tpu.raster.deferred import render_pixels_projected
+
+    res = (16, 32)
+    verts, faces, w2cs, projs = hand_scene(
+        res=res, n_views=2, subdiv=0, fill=0.3)
+    topo = DeferredTopology.build(faces, verts.shape[0])
+    mats = jnp.einsum("bkl,blm->bkm", jnp.asarray(w2cs),
+                      jnp.asarray(projs))
+    rng = np.random.default_rng(0)
+    attr = jnp.asarray(rng.standard_normal((verts.shape[0], 4)),
+                       jnp.float32)
+    gimg = jnp.asarray(rng.standard_normal((2,) + res + (4,)), jnp.float32)
+
+    def loss(v, m, a, cg):
+        rast, feat, _ = render_pixels_projected(
+            v, m, a, topo, res, with_aa=False, interpret=True,
+            camera_grads=cg)
+        return jnp.sum(feat * gimg) + jnp.sum(rast[..., :3] ** 2) * 0.1
+
+    v0 = jnp.asarray(verts)
+    l1, (gv1, gm1, ga1) = jax.value_and_grad(
+        lambda v, m, a: loss(v, m, a, True), argnums=(0, 1, 2))(
+        v0, mats, attr)
+    l2, (gv2, gm2, ga2) = jax.value_and_grad(
+        lambda v, m, a: loss(v, m, a, False), argnums=(0, 1, 2))(
+        v0, mats, attr)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    scale = float(jnp.abs(gv1).max())
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
+                               atol=1e-4 * scale, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2),
+                               atol=1e-5, rtol=1e-4)
+    assert float(jnp.abs(gm1).max()) > 0      # per-view path has mats grads
+    assert float(jnp.abs(gm2).max()) == 0.0   # summed path: zero by contract
