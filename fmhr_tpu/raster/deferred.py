@@ -114,6 +114,55 @@ _PASSA_DEPTH = max(2, int(os.environ.get("FMHR_PASSA_DEPTH", "2")))
 # the knob remains for A/B on other parts.
 _EXTRACT_DEPTH = max(2, int(os.environ.get("FMHR_EXTRACT_DEPTH", "2")))
 
+# Precision of the one-hot selection matmuls (winner extract + backward
+# RMW distribution). HIGHEST (f32) needs ~6 bf16 MXU passes per matmul
+# and a round-5 probe showed these matmuls dominate the winner loops
+# (render fwd 28.4 -> 15.8 ms at bf16x1). Default is the exact 3-split:
+# the f32 operand splits into hi/mid/lo bf16 terms (RN residuals; 24
+# mantissa bits covered, the onehot side is exactly one bf16 term),
+# M-stacked into ONE [3·rec, K] bf16 matmul — the selection reconstructs
+# the f32 values BIT-EXACTLY (sums of non-overlapping 8-bit mantissa
+# segments are exact in f32) at ~1/3 the MXU work of HIGHEST.
+# FMHR_EXTRACT_PREC=highest restores the plain f32 matmul for A/B;
+# =default is a perf PROBE only (bf16x1 quantizes the records).
+_EXTRACT_MODE = os.environ.get("FMHR_EXTRACT_PREC", "split3")
+_EXTRACT_PREC = (jax.lax.Precision.DEFAULT
+                 if _EXTRACT_MODE == "default"
+                 else jax.lax.Precision.HIGHEST)
+
+
+def _split3(x):
+    """Exact 3-way bf16 decomposition of f32: x == hi + mid + lo with
+    each term bf16-representable (RN residual extraction; the final
+    residual has <= 8 significant bits left)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    return hi, mid, lo
+
+
+def _select_matmul(vals, onehot, dn_v, dn_o):
+    """vals [rec, K-or-P] f32 selected/distributed by `onehot` via
+    dot_general with dims (contracting over the axis given by dn_v/dn_o).
+    split3 mode: one M-stacked bf16 matmul, bit-exact for selection."""
+    rec = vals.shape[0]
+    if _EXTRACT_MODE == "split3":
+        stack = jnp.concatenate(_split3(vals), axis=0).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            stack, onehot.astype(jnp.bfloat16),
+            dimension_numbers=(((dn_v,), (dn_o,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return (out[0:rec] + out[rec:2 * rec]) + out[2 * rec:3 * rec]
+    return jax.lax.dot_general(
+        vals, onehot,
+        dimension_numbers=(((dn_v,), (dn_o,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_EXTRACT_PREC,
+    )
+
 _BIG = np.float32(3.0e38)
 _NEG = np.float32(-1.0e30)  # invalid-face C0 marker (headroom vs bf16x6)
 _INT_BIG = np.int32(1 << 30)
@@ -995,19 +1044,14 @@ def _extract_loop(p, b, bs, wcnt, chunk_at, slot_col, dyn_hbm, ids_hbm,
         onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
         # HIGHEST: bf16 would round face/edge ids > 256 to even and
         # quantize coords
-        recm = recm + jax.lax.dot_general(
-            tri_buf[sl], onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                            # [rec, P]
+        recm = recm + _select_matmul(tri_buf[sl], onehot, 1, 1)  # [rec, P]
         return recm
 
     return jax.lax.fori_loop(
         0, wcnt, loop, jnp.zeros((p["rec"], _PIX), jnp.float32))
 
 
-def _make_passb_kernel(p, C, compact=False):
+def _make_passb_kernel(p, C, compact=False, save_recm=False):
     """Per-tile extraction + barycentrics + interpolation over DISTINCT
     winning chunks only.
 
@@ -1021,6 +1065,13 @@ def _make_passb_kernel(p, C, compact=False):
     `compact`: active-tile grid (see `_make_passa_kernel`); the
     zero-filled pix buffer arrives aliased so never-visited (inactive)
     tiles read as background downstream.
+
+    `save_recm` (compact_out training path): additionally store the
+    extracted [rec, P] record slab per active tile — the backward kernel
+    then reads it back as ONE block instead of re-running the whole
+    per-winner extract loop (3 DMAs + one-hot matmul per winner chunk).
+    Tiles with wcnt == 0 skip the write; the backward skips them too, so
+    the garbage rows are never read.
     """
 
     def kernel(*refs):
@@ -1029,9 +1080,15 @@ def _make_passb_kernel(p, C, compact=False):
         # dyn_hbm [B, 16, Fpad] / ids_hbm [1, 8, Fpad] /
         # sta_hbm [B_s, rec-24, Fpad] ANY
         # pix_ref [1,1,rows_out,P] VMEM f32
+        # [save_recm] recm_ref [1,1,rec,P] VMEM f32
+        recm_ref = None
         if compact:
-            (tlist_ref, wmeta_ref, wlist_ref, slot_ref, dyn_hbm, ids_hbm,
-             sta_hbm, init_ref, pix_ref) = refs
+            if save_recm:
+                (tlist_ref, wmeta_ref, wlist_ref, slot_ref, dyn_hbm,
+                 ids_hbm, sta_hbm, init_ref, pix_ref, recm_ref) = refs
+            else:
+                (tlist_ref, wmeta_ref, wlist_ref, slot_ref, dyn_hbm,
+                 ids_hbm, sta_hbm, init_ref, pix_ref) = refs
             del init_ref          # aliased zero fill of pix (ANY space)
         else:
             (wmeta_ref, wlist_ref, slot_ref, dyn_hbm, ids_hbm,
@@ -1058,6 +1115,8 @@ def _make_passb_kernel(p, C, compact=False):
                                  lambda ci: wlist_ref[0, 0, 0, ci],
                                  slot_col, dyn_hbm, ids_hbm, sta_hbm,
                                  tri_buf, sems)
+            if recm_ref is not None:
+                recm_ref[0, 0] = recm
             _shade_write(p, C, recm, t, pix_ref)
 
         @pl.when(wcnt > 0)
@@ -1296,7 +1355,8 @@ def _shade_vjp(recm, g, px, py, C):
     return rows, [ga0, ga1, ga2]
 
 
-def _make_bwd_kernel(p, C, compact=False, sum_views=False):
+def _make_bwd_kernel(p, C, compact=False, sum_views=False,
+                     use_recm=False):
     """Per-tile backward: re-extract the winners' records, run the
     hand-written shading VJP on [1, P] rows, then reduce the record
     gradients straight into face-table layout:
@@ -1325,35 +1385,37 @@ def _make_bwd_kernel(p, C, compact=False, sum_views=False):
     def kernel(*refs):
         # wmeta [1,1,1,4] SMEM: wcnt; wlist [1,1,1,wcap] SMEM int32
         # slot_ref [1,1,P,1] int32; g_ref [1,1,rows_out,P] f32
-        # dyn/ids/sta_hbm: forward record table blocks (re-read)
+        # dyn/ids/sta_hbm: forward record table blocks (re-read) — OR,
+        # with use_recm, recm_ref [1,1,rec,P] VMEM: the pass-B-saved
+        # record slab (no re-extract at all)
         # zeros_ref: aliased input view of gtab_hbm (unused directly)
         # [sum_views] mats_ref [1, 16] f32 SMEM: this view's projection
         # gtab_hbm [B|1, rec, Fpad] ANY (zero-initialised via aliasing)
-        if compact:
-            if sum_views:
-                (tlist_ref, wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm,
-                 ids_hbm, sta_hbm, zeros_ref, mats_ref, gtab_hbm, tri_buf,
-                 grec_scr, stage_in, stage_out, sems_t, sems_r,
-                 sems_w) = refs
-            else:
-                (tlist_ref, wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm,
-                 ids_hbm, sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr,
-                 stage_in, stage_out, sems_t, sems_r, sems_w) = refs
-        elif sum_views:
-            (wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
-             sta_hbm, zeros_ref, mats_ref, gtab_hbm, tri_buf, grec_scr,
-             stage_in, stage_out, sems_t, sems_r, sems_w) = refs
+        refs = list(refs)
+        tlist_ref = refs.pop(0) if compact else None
+        wmeta_ref, wlist_ref, slot_ref, g_ref = refs[:4]
+        refs = refs[4:]
+        if use_recm:
+            recm_ref = refs.pop(0)
+            dyn_hbm = ids_hbm = sta_hbm = None
         else:
-            (wmeta_ref, wlist_ref, slot_ref, g_ref, dyn_hbm, ids_hbm,
-             sta_hbm, zeros_ref, gtab_hbm, tri_buf, grec_scr, stage_in,
-             stage_out, sems_t, sems_r, sems_w) = refs
+            dyn_hbm, ids_hbm, sta_hbm = refs[:3]
+            refs = refs[3:]
+        zeros_ref = refs.pop(0)
+        mats_ref = refs.pop(0) if sum_views else None
+        gtab_hbm = refs.pop(0)
+        tri_buf = None if use_recm else refs.pop(0)
+        grec_scr, stage_in, stage_out = refs[:3]
+        refs = refs[3:]
+        sems_t = None if use_recm else refs.pop(0)
+        sems_r, sems_w = refs
         del zeros_ref
         b = pl.program_id(0)
         if compact:
             t = tlist_ref[b, pl.program_id(1)]
         else:
             t = pl.program_id(1)
-        bs = jnp.minimum(b, sta_hbm.shape[0] - 1)
+        bs = None if use_recm else jnp.minimum(b, sta_hbm.shape[0] - 1)
         n_iter = wmeta_ref[0, 0, 0, 0]
         slot_col = slot_ref[0, 0]          # [P, 1] int32
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (_PIX, K), 1)
@@ -1363,11 +1425,15 @@ def _make_bwd_kernel(p, C, compact=False, sum_views=False):
         # shading-VJP row math entirely (the per-tile fixed cost)
         @pl.when(n_iter > 0)
         def _():
-            # ---- re-extract winners' records, run the VJP
-            recm = _extract_loop(p, b, bs, n_iter,
-                                 lambda ci: wlist_ref[0, 0, 0, ci],
-                                 slot_col, dyn_hbm, ids_hbm, sta_hbm,
-                                 tri_buf, sems_t)
+            # ---- winners' records: read the pass-B-saved slab, or
+            # re-extract from the face tables
+            if use_recm:
+                recm = recm_ref[0, 0]
+            else:
+                recm = _extract_loop(p, b, bs, n_iter,
+                                     lambda ci: wlist_ref[0, 0, 0, ci],
+                                     slot_col, dyn_hbm, ids_hbm, sta_hbm,
+                                     tri_buf, sems_t)
             px, py = _pix_ndc(p, t)
             coord_rows, attr_rows = _shade_vjp(recm, g_ref[0, 0], px, py, C)
             if sum_views:
@@ -1424,12 +1490,7 @@ def _make_bwd_kernel(p, C, compact=False, sum_views=False):
 
                 c = wlist_ref[0, 0, 0, ci]
                 onehot = (slot_col - c * K == k_iota).astype(jnp.float32)
-                gc = jax.lax.dot_general(
-                    grec, onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,  # bf16: grad quantize
-                )  # [rec, K]
+                gc = _select_matmul(grec, onehot, 1, 0)  # [rec, K]
                 rd(sl, ci).wait()
                 # wait for the store that used this staging slot D iters
                 # ago before overwriting it (distinct chunks within a
@@ -1773,6 +1834,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             wmeta = jnp.stack(
                 [wcnt, jnp.zeros_like(wcnt), jnp.zeros_like(wcnt),
                  jnp.zeros_like(wcnt)], axis=-1)[:, :, None, :]
+            recm_saved = None
         else:
             passa_args = (meta, chunk_list[:, None], g_list[:, None],
                           anchors, tab_a)
@@ -1815,6 +1877,23 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             passb_args = (wmeta, wlist[:, :, None], slot,
                           tab_dyn, tab_ids, tab_sta)
             passb_kw = {}
+            # compact_out training path: persist each active tile's
+            # extracted [rec, P] record slab so the backward kernel reads
+            # ONE block per tile instead of re-running the per-winner
+            # extract loop (~half the backward kernel's work at prod).
+            # [B, ta_cap+1, rec, P] = 75 MB at the prod preset — only
+            # viable on the compacted grid (dense demo would be 2.4 GB).
+            save_recm = (compact_out
+                         and os.environ.get("FMHR_SAVE_RECM", "1") != "0")
+            pb_out_shape = jax.ShapeDtypeStruct(
+                (B, Tout, rows_out, _PIX), jnp.float32)
+            pb_out_spec = passb_out
+            if save_recm:
+                pb_out_shape = [pb_out_shape, jax.ShapeDtypeStruct(
+                    (B, Tout, rec, _PIX), jnp.float32)]
+                pb_out_spec = [passb_out, pl.BlockSpec(
+                    (1, 1, rec, _PIX), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM)]
             if compact:
                 pix_init = jnp.zeros((B, Tout, rows_out, _PIX),
                                      jnp.float32)
@@ -1823,13 +1902,16 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 # arg index counts the scalar-prefetch operand
                 passb_kw["input_output_aliases"] = {7: 0}
             outf = pl.pallas_call(
-                _make_passb_kernel(p, C, compact=compact),
-                out_shape=jax.ShapeDtypeStruct(
-                    (B, Tout, rows_out, _PIX), jnp.float32),
+                _make_passb_kernel(p, C, compact=compact,
+                                   save_recm=save_recm),
+                out_shape=pb_out_shape,
                 interpret=interpret,
-                **_gridspec(passb_in, passb_out, compact_in=(0, 1, 2)),
+                **_gridspec(passb_in, pb_out_spec, compact_in=(0, 1, 2)),
                 **passb_kw,
             )(*passb_args)
+            recm_saved = None
+            if save_recm:
+                outf, recm_saved = outf
         if compact and not compact_out:
             outf = outf[:, :T]
 
@@ -1873,7 +1955,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 [n_drop, wstat[:, :, 0, 1].sum(axis=1), g_drop],
                 axis=-1)  # [B, 3]
         return (pix, ids, counters, slot, wmeta, wlist, tab_dyn, tab_ids,
-                tab_sta, tlist)
+                tab_sta, tlist, recm_saved)
 
     def _bwd_gtab(res, cts, mats=None):
         """Shared backward trunk: pixel cotangents -> face-table gradient
@@ -1881,8 +1963,10 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
         table is [1, rec, Fpad], already summed over views and with the
         coordinate rows in REST space (mats required)."""
         g_pix = cts[0]
-        slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, tlist, B = res
+        (slot, wmeta, wlist, tab_dyn, tab_ids, tab_sta, tlist,
+         recm_saved, B) = res
         compact = tlist is not None
+        use_recm = recm_saved is not None
 
         if tiled:
             # cotangents arrive already tiled [B, T, rows_used, P]
@@ -1905,7 +1989,7 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             g = jnp.pad(g, ((0, 0), (0, 1), (0, 0), (0, 0)))
 
         kernel = _make_bwd_kernel(p, C, compact=compact,
-                                  sum_views=sum_views)
+                                  sum_views=sum_views, use_recm=use_recm)
         Bg = 1 if sum_views else B
         zeros = jnp.zeros((Bg, rec, Fpad), jnp.float32)
         bwd_in = [
@@ -1919,23 +2003,37 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
             pl.BlockSpec((1, 1, rows_out, _PIX),
                          lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ]
+        if use_recm:
+            # the fwd-saved record slab replaces the three table inputs
+            # AND the whole per-winner extract loop
+            bwd_in = bwd_in + [
+                pl.BlockSpec((1, 1, rec, _PIX), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            bwd_tables = (recm_saved,)
+        else:
+            bwd_in = bwd_in + [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            bwd_tables = (tab_dyn, tab_ids, tab_sta)
         bwd_out = pl.BlockSpec(memory_space=pl.ANY)
-        scratch = [
-            pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32),
+        scratch = ([] if use_recm else [
+            pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32)]) + [
             pltpu.VMEM((rec, _PIX), jnp.float32),
             pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32),
             pltpu.VMEM((_EXTRACT_DEPTH, rec, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH, 3)),
+        ] + ([] if use_recm else [
+            pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH, 3))]) + [
             pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH,)),
             pltpu.SemaphoreType.DMA((_EXTRACT_DEPTH,)),
         ]
-        bwd_args = (wmeta, wlist[:, :, None], slot, g, tab_dyn, tab_ids,
-                    tab_sta, zeros)
+        bwd_args = (wmeta, wlist[:, :, None], slot, g) + bwd_tables + (
+            zeros,)
         if sum_views:
             # per-view projection matrices for the in-kernel rest-space
             # transform, [B, 16] row-major (j, c) in SMEM. The block is
@@ -1971,11 +2069,12 @@ def get_deferred_core(topo: DeferredTopology, C: int, H: int, W: int, *,
                 out_specs=bwd_out,
                 scratch_shapes=scratch))
             bwd_args = (tlist,) + bwd_args
-            alias = {8: 0}   # arg index counts the scalar-prefetch operand
+            # zeros' arg index counts the scalar-prefetch operand
+            alias = {(6 if use_recm else 8): 0}
         else:
             grid_kw = dict(grid=(B, T), in_specs=bwd_in,
                            out_specs=bwd_out, scratch_shapes=scratch)
-            alias = {7: 0}
+            alias = {(5 if use_recm else 7): 0}
         gtab = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((Bg, rec, Fpad), jnp.float32),

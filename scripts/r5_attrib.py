@@ -156,6 +156,62 @@ def main():
         return (jnp.sum(jnp.abs(tr["feat"]))
                 + jnp.sum((tr["ids"] > 0).astype(jnp.float32)))
 
+    def make_loss_nogather():
+        """Full shading+loss math but NO image/mask gathers (valid from
+        ids only, constant target): isolates gather_tiles cost."""
+        def loss(params):
+            tr = do_render(params, False)
+            feat = tr["feat"]
+            nrm = safe_normalize(feat[:, :, :3], axis=2)
+            pred_mask = feat[:, :, 6] * tr["grid"]["valid"]
+            valid = (tr["ids"] > 0).astype(feat.dtype)
+            rad = sh_radiance(sh[:, None, None, :], nrm, 3, axis=2)
+            pred = jnp.where(valid[:, :, None] > 0,
+                             rad[:, :, None] * feat[:, :, 3:6], 0.0)
+            num = jnp.sum(jnp.abs(pred - 0.5) * valid[:, :, None])
+            den = jnp.maximum(jnp.sum(valid) * 3.0, 1.0)
+            sse = jnp.sum((pred_mask - 0.5) ** 2)
+            return (50.0 * num / den + sse / (n_views * H * W)
+                    + mesh_term(params))
+        return loss
+
+    def make_shade_standalone():
+        """The full stage-B loss math on MATERIALIZED render outputs
+        (no pallas in the program): isolates the XLA side of the
+        kernel/XLA overlap."""
+        tr0 = jax.jit(lambda p: do_render(p, True))(params)
+
+        def mat(x):
+            return (jax.device_put(np.asarray(x))
+                    if hasattr(x, "shape") else x)
+
+        tr0 = {k: ({kk: mat(vv) for kk, vv in v.items()}
+                   if isinstance(v, dict) else
+                   tuple(mat(x) for x in v) if isinstance(v, tuple)
+                   else mat(v))
+               for k, v in tr0.items()}
+
+        def loss(p):
+            tr = dict(tr0)
+            tr["feat"] = tr0["feat"] + 1e-12 * p["delta"][0, 0]
+            from fmhr_tpu.optim.ham import stage_b_terms_compact
+            m_sel = masks_t
+            num, sse, den = stage_b_terms_compact(
+                tr, imgs_t, m_sel, m_sel, vmask_sq, sh, 3)
+            return (50.0 * num / jnp.maximum(den, 1.0)
+                    + sse / (n_views * H * W) + mesh_term(p))
+        return loss
+
+    def gather_sum(params):
+        """render + the image/mask tile gathers only."""
+        tr = do_render(params, False)
+        T = tr["grid"]["T"]
+        tlist = tr["tlist"]
+        imgs_g = gather_tiles(imgs_t, tlist, T)
+        masks_g = gather_tiles(masks_t, tlist, T)
+        return (jnp.sum(jnp.abs(tr["feat"])) + jnp.sum(imgs_g)
+                + jnp.sum(masks_g))
+
     def prep_sum(params):
         """The deferred prep XLA only: projection, coeff tables, work
         lists, active-tile lists — everything before the first kernel."""
@@ -257,6 +313,9 @@ def main():
         "render_fwd": lambda: chain_scalar(render_sum),
         "mesh_only": lambda: chain_scalar(
             vag_scalar(mesh_term, ("delta",))),
+        "fwd_nogather": lambda: chain_scalar(make_loss_nogather()),
+        "shade_standalone": lambda: chain_scalar(make_shade_standalone()),
+        "fwd_gatheronly": lambda: chain_scalar(gather_sum),
         "prep_fwd": lambda: chain_scalar(prep_sum),
         "prep_grad": lambda: chain_scalar(
             vag_scalar(prep_sum, ("delta",))),
